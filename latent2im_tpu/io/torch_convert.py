@@ -1,0 +1,330 @@
+"""PyTorch checkpoint -> JAX pytree converters.
+
+Bridges the reference's checkpoint formats into this framework's NHWC param
+pytrees:
+
+  * StyleGAN2 ``.pt`` with ``g_ema`` / ``d`` state_dicts (rosinality layout,
+    reference: graphs/stylegan_v2_real/transform_base.py:540-549, BP.py:315-332)
+  * torchvision resnet50 regressor ``{epoch}_dict.model`` with ``{'model',
+    'optm'}`` (scene_regressor_256.py:167-170)
+  * torchvision vgg16/vgg19 ``features`` state_dicts
+  * pickled whole-module walk checkpoints ``*_walk_module.ckpt``
+    (transform_base.py:492-499) — loaded via stub class registration so the
+    reference package does not need to be importable (its op/ JIT-compiles
+    CUDA at import time).
+
+Layout rules:
+  conv   [out,in,kh,kw]   -> [kh,kw,in,out]
+  linear [out,in]         -> [in,out]
+  modconv[1,out,in,k,k]   -> [k,k,in,out]
+  NCHW activations        -> NHWC (flatten-boundary weights get row-permuted)
+
+torch is only imported inside functions: the training/inference paths never
+need it; converters are a host-side one-time step.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Any
+
+import numpy as np
+
+
+def _np(t):
+    import torch
+
+    if isinstance(t, torch.Tensor):
+        return t.detach().cpu().numpy().astype(np.float32)
+    return np.asarray(t, dtype=np.float32)
+
+
+def _conv_w(t):
+    return np.transpose(_np(t), (2, 3, 1, 0))  # OIHW -> HWIO
+
+
+def _lin_w(t):
+    return np.transpose(_np(t), (1, 0))  # [out,in] -> [in,out]
+
+
+def _modconv_w(t):
+    return np.transpose(_np(t)[0], (2, 3, 1, 0))  # [1,O,I,k,k] -> [k,k,I,O]
+
+
+# ---------------------------------------------------------------------------
+# StyleGAN2
+# ---------------------------------------------------------------------------
+
+
+def convert_stylegan2_generator(sd: dict, size: int, n_mlp: int = 8) -> dict:
+    """rosinality g_ema state_dict -> models.stylegan2 generator pytree."""
+    import math
+
+    log_size = int(math.log2(size))
+    params: dict[str, Any] = {
+        "style": [
+            {
+                "w": _lin_w(sd[f"style.{i + 1}.weight"]),
+                "b": _np(sd[f"style.{i + 1}.bias"]),
+            }
+            for i in range(n_mlp)
+        ],
+        "const": np.transpose(_np(sd["input.input"]), (0, 2, 3, 1)),
+    }
+
+    def styled_conv(prefix):
+        return {
+            "conv": {
+                "w": _modconv_w(sd[f"{prefix}.conv.weight"]),
+                "mod": {
+                    "w": _lin_w(sd[f"{prefix}.conv.modulation.weight"]),
+                    "b": _np(sd[f"{prefix}.conv.modulation.bias"]),
+                },
+            },
+            "noise_w": _np(sd[f"{prefix}.noise.weight"]).reshape(()),
+            "act_b": _np(sd[f"{prefix}.activate.bias"]),
+        }
+
+    def to_rgb(prefix):
+        return {
+            "conv": {
+                "w": _modconv_w(sd[f"{prefix}.conv.weight"]),
+                "mod": {
+                    "w": _lin_w(sd[f"{prefix}.conv.modulation.weight"]),
+                    "b": _np(sd[f"{prefix}.conv.modulation.bias"]),
+                },
+            },
+            "b": _np(sd[f"{prefix}.bias"]).reshape(-1),
+        }
+
+    params["conv1"] = styled_conv("conv1")
+    params["to_rgb1"] = to_rgb("to_rgb1")
+    n_blocks = log_size - 2
+    params["convs"] = [styled_conv(f"convs.{i}") for i in range(n_blocks * 2)]
+    params["to_rgbs"] = [to_rgb(f"to_rgbs.{i}") for i in range(n_blocks)]
+    n_noise = (log_size - 2) * 2 + 1
+    params["noises"] = [
+        np.transpose(_np(sd[f"noises.noise_{i}"]), (0, 2, 3, 1))
+        for i in range(n_noise)
+    ]
+    return params
+
+
+def convert_stylegan2_discriminator(sd: dict, size: int) -> dict:
+    """rosinality D state_dict -> models.stylegan2 discriminator pytree."""
+    import math
+
+    log_size = int(math.log2(size))
+
+    def conv_layer(prefix, down: bool, bias: bool = True, activate: bool = True):
+        # Sequential indices: [Blur?, EqualConv2d, FusedLeakyReLU?]
+        ci = 1 if down else 0
+        p = {"conv": {"w": _conv_w(sd[f"{prefix}.{ci}.weight"])}}
+        if activate and bias:
+            p["act_b"] = _np(sd[f"{prefix}.{ci + 1}.bias"])
+        elif bias and not activate and f"{prefix}.{ci}.bias" in sd:
+            p["conv"]["b"] = _np(sd[f"{prefix}.{ci}.bias"])
+        return p
+
+    params: dict[str, Any] = {
+        "from_rgb": conv_layer("convs.0", down=False),
+        "blocks": [],
+    }
+    n_blocks = log_size - 2
+    for i in range(n_blocks):
+        pre = f"convs.{i + 1}"
+        params["blocks"].append(
+            {
+                "conv1": conv_layer(f"{pre}.conv1", down=False),
+                "conv2": conv_layer(f"{pre}.conv2", down=True),
+                "skip": conv_layer(f"{pre}.skip", down=True, bias=False, activate=False),
+            }
+        )
+    params["final_conv"] = conv_layer("final_conv", down=False)
+
+    # final_linear.0 consumes the NCHW flatten (c,h,w); our NHWC flatten is
+    # (h,w,c) — permute the weight's input rows accordingly.
+    w0 = _lin_w(sd["final_linear.0.weight"])  # [C*16, 512] rows in (c,h,w) order
+    cin = w0.shape[0] // 16
+    idx = np.arange(w0.shape[0]).reshape(cin, 4, 4)  # [c,h,w] -> torch row id
+    perm = np.transpose(idx, (1, 2, 0)).reshape(-1)  # (h,w,c) order
+    params["final_lin1"] = {"w": w0[perm], "b": _np(sd["final_linear.0.bias"])}
+    params["final_lin2"] = {
+        "w": _lin_w(sd["final_linear.1.weight"]),
+        "b": _np(sd["final_linear.1.bias"]),
+    }
+    return params
+
+
+# ---------------------------------------------------------------------------
+# torchvision resnet50 / vgg
+# ---------------------------------------------------------------------------
+
+
+def convert_resnet50(sd: dict) -> dict:
+    """torchvision resnet50 (fc -> num_outputs) state_dict -> pytree."""
+
+    def bn(prefix):
+        return {
+            "gamma": _np(sd[f"{prefix}.weight"]),
+            "beta": _np(sd[f"{prefix}.bias"]),
+            "mean": _np(sd[f"{prefix}.running_mean"]),
+            "var": _np(sd[f"{prefix}.running_var"]),
+        }
+
+    params: dict[str, Any] = {
+        "stem": {"w": _conv_w(sd["conv1.weight"]), **bn("bn1")},
+        "layers": [],
+    }
+    from ..models.resnet import BOTTLENECK_LAYERS
+
+    for li, n_blocks in enumerate(BOTTLENECK_LAYERS):
+        blocks = []
+        for bi in range(n_blocks):
+            pre = f"layer{li + 1}.{bi}"
+            blk = {
+                "conv1": {"w": _conv_w(sd[f"{pre}.conv1.weight"]), **bn(f"{pre}.bn1")},
+                "conv2": {"w": _conv_w(sd[f"{pre}.conv2.weight"]), **bn(f"{pre}.bn2")},
+                "conv3": {"w": _conv_w(sd[f"{pre}.conv3.weight"]), **bn(f"{pre}.bn3")},
+                "stride": (1 if li == 0 else 2) if bi == 0 else 1,
+            }
+            if f"{pre}.downsample.0.weight" in sd:
+                blk["down"] = {
+                    "w": _conv_w(sd[f"{pre}.downsample.0.weight"]),
+                    **bn(f"{pre}.downsample.1"),
+                }
+            blocks.append(blk)
+        params["layers"].append(blocks)
+    params["fc"] = {"w": _lin_w(sd["fc.weight"]), "b": _np(sd["fc.bias"])}
+    return params
+
+
+def convert_vgg_features(sd: dict, cfg_name: str) -> dict:
+    """torchvision vgg16/vgg19 ``features`` state_dict -> pytree.
+
+    Accepts keys either as 'features.IDX.weight' or bare 'IDX.weight'.
+    """
+    from ..models.vgg import CFGS
+
+    cfg = CFGS[cfg_name]
+
+    def get(idx, kind):
+        for k in (f"features.{idx}.{kind}", f"{idx}.{kind}"):
+            if k in sd:
+                return sd[k]
+        raise KeyError(f"vgg key {idx}.{kind} not found")
+
+    convs = []
+    seq_idx = 0
+    for v in cfg:
+        if v == "M":
+            seq_idx += 1  # MaxPool2d
+            continue
+        convs.append({"w": _conv_w(get(seq_idx, "weight")), "b": _np(get(seq_idx, "bias"))})
+        seq_idx += 2  # Conv2d + ReLU
+    return {"cfg": cfg_name, "convs": convs}
+
+
+# ---------------------------------------------------------------------------
+# walk checkpoints (pickled whole nn.Modules)
+# ---------------------------------------------------------------------------
+
+_WALK_CLASS_NAMES = [
+    "WalkEmbed",
+    "WalkLinear",
+    "WalkMlpMultiZ",
+    "WalkLinearMultiW",
+    "WalkMlpMultiW",
+    "WalkNonLinearW",
+    "WalkLinearZ",
+    "WalkLinearZ_free",
+    "WalkMlpZ",
+    "WalkMlpZ2",
+    "WalkMlpZ3",
+    "walk_embed",
+]
+
+_REF_MODULES = [
+    "graphs",
+    "graphs.stylegan_v2_real",
+    "graphs.stylegan_v2_real.transform_base",
+    "graphs.pggan",
+    "graphs.pggan.transform_base",
+]
+
+
+def _register_walk_stubs():
+    """Register stub modules/classes so pickled reference walk modules load
+    without importing the reference package (whose op/ JIT-builds CUDA)."""
+    import types
+
+    import torch.nn as nn
+
+    for mod_name in _REF_MODULES:
+        if mod_name not in sys.modules:
+            sys.modules[mod_name] = types.ModuleType(mod_name)
+    for mod_name in _REF_MODULES[2::2] + [_REF_MODULES[4]]:
+        mod = sys.modules[mod_name]
+        for cls_name in _WALK_CLASS_NAMES:
+            if not hasattr(mod, cls_name):
+                # Unpickling never calls __init__; a bare nn.Module subclass
+                # with the right qualified name is enough to restore state.
+                cls = type(
+                    cls_name,
+                    (nn.Module,),
+                    {"__module__": mod_name, "__qualname__": cls_name},
+                )
+                setattr(mod, cls_name, cls)
+
+
+def load_walk_checkpoint(path: str) -> tuple[str, dict]:
+    """Load a reference ``*_walk_module.ckpt`` -> (class_name, state arrays)."""
+    import torch
+
+    _register_walk_stubs()
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    cls = type(obj).__name__
+    state = {k: _np(v) for k, v in obj.state_dict().items()}
+    return cls, state
+
+
+def convert_walk_state(cls: str, state: dict, attr_list: list[str]) -> dict:
+    """Map a reference walk module state_dict onto this framework's walk
+    param pytrees (see walks/walks.py for the target layouts)."""
+    if cls == "WalkLinearMultiW":
+        return {"w": state["w"]}  # [A, L, 512] identical layout
+    if cls == "WalkMlpMultiW":
+        return {
+            "mlp": [
+                {"w": _lin_w(state[f"linear.{i}.weight"]),
+                 "b": _np(state[f"linear.{i}.bias"])}
+                for i in (0, 2, 4)
+            ]
+        }
+    if cls == "WalkNonLinearW":
+        return {
+            "embed": {"w": _lin_w(state["embed.weight"]), "b": _np(state["embed.bias"])},
+            "mlp": [
+                {"w": _lin_w(state[f"linear.{i}.weight"]),
+                 "b": _np(state[f"linear.{i}.bias"])}
+                for i in (0, 2)
+            ],
+        }
+    if cls == "WalkLinearZ_free":
+        return {"w": state["w"]}  # [A, 512]
+    if cls in ("WalkMlpZ3", "WalkMlpZ2", "WalkMlpZ"):
+        idxs = [i for i in range(0, 12, 2) if f"linear.{i}.weight" in state]
+        return {
+            "mlp": [
+                {"w": _lin_w(state[f"linear.{i}.weight"]),
+                 "b": _np(state[f"linear.{i}.bias"])}
+                for i in idxs
+            ]
+        }
+    if cls in ("WalkEmbed", "walk_embed"):
+        key = "w" if any(k.startswith("w.") for k in state) else "w_embed"
+        return {
+            "w": {name: state[f"{key}.{name}"] for name in attr_list
+                  if f"{key}.{name}" in state}
+        }
+    raise ValueError(f"unknown walk checkpoint class: {cls}")

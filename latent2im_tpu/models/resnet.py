@@ -1,0 +1,199 @@
+"""ResNet-50 attribute regressor, TPU-native JAX (NHWC).
+
+The reference uses torchvision resnet50 with fc replaced by Linear(2048, 40)
+as a frozen attribute regressor (reference: graphs/stylegan_v2_real/
+transform_base.py:522-534) and trains the same network on scene images
+(scene_regressor_256.py). This implements the torchvision-v1 architecture
+(Bottleneck [3,4,6,3]) as a pure function so converted torchvision
+state_dicts drop in (see io/torch_convert.py), with BatchNorm supporting both
+frozen inference (running stats) and training mode (batch stats + running
+stat updates) for the regressor-training CLI.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+Params = dict[str, Any]
+
+BOTTLENECK_LAYERS = (3, 4, 6, 3)  # resnet50
+EXPANSION = 4
+
+
+# ---------------------------------------------------------------------------
+# primitives
+# ---------------------------------------------------------------------------
+
+
+def _kaiming_conv(key, kh, kw, cin, cout):
+    # torchvision: kaiming_normal_(fan_out, relu)
+    fan_out = kh * kw * cout
+    std = math.sqrt(2.0 / fan_out)
+    return jax.random.normal(key, (kh, kw, cin, cout), jnp.float32) * std
+
+
+def init_conv_bn(key, kh, kw, cin, cout):
+    return {
+        "w": _kaiming_conv(key, kh, kw, cin, cout),
+        "gamma": jnp.ones((cout,), jnp.float32),
+        "beta": jnp.zeros((cout,), jnp.float32),
+        "mean": jnp.zeros((cout,), jnp.float32),
+        "var": jnp.ones((cout,), jnp.float32),
+    }
+
+
+def conv2d(w, x, stride=1, padding=0):
+    return lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def batch_norm(p, x, train: bool = False, eps: float = 1e-5, momentum: float = 0.1):
+    """Returns (out, updated_stats|None)."""
+    if train:
+        mean = jnp.mean(x, axis=(0, 1, 2))
+        var = jnp.var(x, axis=(0, 1, 2))
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        unbiased = var * n / max(n - 1, 1)
+        new_stats = {
+            "mean": (1 - momentum) * p["mean"] + momentum * mean,
+            "var": (1 - momentum) * p["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = p["mean"], p["var"]
+        new_stats = None
+    inv = lax.rsqrt(var + eps)
+    out = (x - mean.astype(x.dtype)) * (inv * p["gamma"]).astype(x.dtype) + p[
+        "beta"
+    ].astype(x.dtype)
+    return out, new_stats
+
+
+def max_pool(x, window=3, stride=2, padding=1):
+    return lax.reduce_window(
+        x,
+        -jnp.inf,
+        lax.max,
+        (1, window, window, 1),
+        (1, stride, stride, 1),
+        ((0, 0), (padding, padding), (padding, padding), (0, 0)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# bottleneck blocks
+# ---------------------------------------------------------------------------
+
+
+def init_bottleneck(key, cin, planes, stride, downsample: bool):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    p = {
+        "conv1": init_conv_bn(k1, 1, 1, cin, planes),
+        "conv2": init_conv_bn(k2, 3, 3, planes, planes),
+        "conv3": init_conv_bn(k3, 1, 1, planes, planes * EXPANSION),
+        "stride": stride,
+    }
+    if downsample:
+        p["down"] = init_conv_bn(k4, 1, 1, cin, planes * EXPANSION)
+    return p
+
+
+def bottleneck(p, x, train=False):
+    stats = {}
+    out = conv2d(p["conv1"]["w"], x)
+    out, s = batch_norm(p["conv1"], out, train)
+    stats["conv1"] = s
+    out = jax.nn.relu(out)
+    out = conv2d(p["conv2"]["w"], out, stride=p["stride"], padding=1)
+    out, s = batch_norm(p["conv2"], out, train)
+    stats["conv2"] = s
+    out = jax.nn.relu(out)
+    out = conv2d(p["conv3"]["w"], out)
+    out, s = batch_norm(p["conv3"], out, train)
+    stats["conv3"] = s
+    if "down" in p:
+        idn = conv2d(p["down"]["w"], x, stride=p["stride"])
+        idn, s = batch_norm(p["down"], idn, train)
+        stats["down"] = s
+    else:
+        idn = x
+    return jax.nn.relu(out + idn), stats
+
+
+# ---------------------------------------------------------------------------
+# resnet-50
+# ---------------------------------------------------------------------------
+
+
+def init_resnet50(key, num_outputs: int = 40) -> Params:
+    keys = jax.random.split(key, 64)
+    ki = iter(keys)
+    params: Params = {"stem": init_conv_bn(next(ki), 7, 7, 3, 64), "layers": []}
+    cin = 64
+    planes = 64
+    for li, n_blocks in enumerate(BOTTLENECK_LAYERS):
+        stride = 1 if li == 0 else 2
+        blocks = []
+        for bi in range(n_blocks):
+            s = stride if bi == 0 else 1
+            need_down = bi == 0 and (s != 1 or cin != planes * EXPANSION)
+            blocks.append(init_bottleneck(next(ki), cin, planes, s, need_down))
+            cin = planes * EXPANSION
+        params["layers"].append(blocks)
+        planes *= 2
+    kfc = next(ki)
+    bound = 1.0 / math.sqrt(2048)
+    params["fc"] = {
+        "w": jax.random.uniform(kfc, (2048, num_outputs), jnp.float32, -bound, bound),
+        "b": jnp.zeros((num_outputs,), jnp.float32),
+    }
+    return params
+
+
+def resnet50_forward(params: Params, x, train: bool = False, dtype=jnp.float32):
+    """x: [B,H,W,3] -> [B, num_outputs]. Returns (logits, bn_stats|None)."""
+    x = x.astype(dtype)
+    out = conv2d(params["stem"]["w"], x, stride=2, padding=3)
+    out, stem_stats = batch_norm(params["stem"], out, train)
+    out = jax.nn.relu(out)
+    out = max_pool(out)
+    all_stats = {"stem": stem_stats, "layers": []}
+    for blocks in params["layers"]:
+        layer_stats = []
+        for blk in blocks:
+            out, s = bottleneck(blk, out, train)
+            layer_stats.append(s)
+        all_stats["layers"].append(layer_stats)
+    out = jnp.mean(out, axis=(1, 2))  # global average pool
+    logits = out @ params["fc"]["w"].astype(out.dtype) + params["fc"]["b"].astype(
+        out.dtype
+    )
+    return logits.astype(jnp.float32), (all_stats if train else None)
+
+
+def apply_bn_stats(params: Params, stats) -> Params:
+    """Fold train-mode BN stat updates back into the param tree."""
+    import copy
+
+    params = copy.deepcopy(params)
+
+    def upd(p, s):
+        if s is not None:
+            p["mean"], p["var"] = s["mean"], s["var"]
+
+    upd(params["stem"], stats["stem"])
+    for blocks, lstats in zip(params["layers"], stats["layers"]):
+        for blk, bstats in zip(blocks, lstats):
+            for name in ("conv1", "conv2", "conv3", "down"):
+                if name in blk and bstats.get(name) is not None:
+                    upd(blk[name], bstats[name])
+    return params

@@ -1,0 +1,470 @@
+"""StyleGAN2 generator + discriminator, TPU-native JAX.
+
+Re-implements the capability of the reference's rosinality-style networks
+(reference: graphs/stylegan_v2_real/networks.py) as pure functions over
+parameter pytrees, NHWC layout, designed for the MXU:
+
+  * ModulatedConv2d is computed WITHOUT per-sample grouped convs (the
+    reference folds batch into conv groups, networks.py:241-270, which maps
+    terribly to the MXU). Because conv is linear, modulating the weight's
+    input channels == scaling the input channels, and demodulation is a pure
+    output-channel scale computed analytically:
+
+        demod[b,o] = rsqrt(scale^2 * sum_i s[b,i]^2 * sum_k W[k,i,o]^2 + eps)
+
+    so every sample shares ONE large conv — batched, MXU-friendly.
+  * Up/down-sampling rides `ops.upfirdn2d` (XLA conv / Pallas kernel).
+  * The fused bias+LeakyReLU+sqrt(2) epilogue rides `ops.fused_act`.
+
+Parameters are stored in "equalized LR" raw form exactly as the reference
+(weights ~ N(0,1) [/ lr_mul], runtime scale 1/sqrt(fan_in) * lr_mul), so
+converted PyTorch checkpoints drop in without rescaling (weight layout maps
+OIHW -> HWIO and linear [out,in] -> [in,out]; see io/torch_convert.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..ops import fused_act
+from ..ops import upfirdn2d_mod as ufd
+
+Params = dict[str, Any]
+
+# channel table (networks.py:384-394)
+def channel_table(channel_multiplier: int = 2) -> dict[int, int]:
+    return {
+        4: 512,
+        8: 512,
+        16: 512,
+        32: 512,
+        64: 256 * channel_multiplier,
+        128: 128 * channel_multiplier,
+        256: 64 * channel_multiplier,
+        512: 32 * channel_multiplier,
+        1024: 16 * channel_multiplier,
+    }
+
+
+BLUR_KERNEL = (1, 3, 3, 1)
+
+
+# ---------------------------------------------------------------------------
+# primitive layers
+# ---------------------------------------------------------------------------
+
+
+def pixel_norm(x, eps=1e-8):
+    return x * lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+
+
+def init_equal_linear(key, in_dim, out_dim, bias=True, bias_init=0.0, lr_mul=1.0):
+    p = {"w": jax.random.normal(key, (in_dim, out_dim), jnp.float32) / lr_mul}
+    if bias:
+        p["b"] = jnp.full((out_dim,), float(bias_init), jnp.float32)
+    return p
+
+
+def equal_linear(p, x, lr_mul=1.0, activation=False, impl=None):
+    in_dim = p["w"].shape[0]
+    scale = (1.0 / math.sqrt(in_dim)) * lr_mul
+    w = (p["w"] * scale).astype(x.dtype)
+    out = x @ w
+    b = p.get("b")
+    if activation:
+        return fused_act.fused_leaky_relu(
+            out, None if b is None else b * lr_mul, impl=impl
+        )
+    if b is not None:
+        out = out + (b * lr_mul).astype(out.dtype)
+    return out
+
+
+def init_equal_conv(key, in_ch, out_ch, k, bias=True):
+    p = {"w": jax.random.normal(key, (k, k, in_ch, out_ch), jnp.float32)}
+    if bias:
+        p["b"] = jnp.zeros((out_ch,), jnp.float32)
+    return p
+
+
+def equal_conv2d(p, x, stride=1, padding=0):
+    k, _, in_ch, _ = p["w"].shape
+    scale = 1.0 / math.sqrt(in_ch * k * k)
+    out = lax.conv_general_dilated(
+        x,
+        (p["w"] * scale).astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "b" in p:
+        out = out + p["b"].astype(out.dtype)
+    return out
+
+
+def init_modulated_conv(key, in_ch, out_ch, k, style_dim, demodulate=True):
+    kw, km = jax.random.split(key)
+    return {
+        "w": jax.random.normal(kw, (k, k, in_ch, out_ch), jnp.float32),
+        "mod": init_equal_linear(km, style_dim, in_ch, bias_init=1.0),
+    }
+
+
+def modulated_conv2d(
+    p,
+    x,
+    style,
+    demodulate=True,
+    up=False,
+    down=False,
+    blur_kernel=None,
+    impl=None,
+):
+    """Style-modulated conv (networks.py:176-272), batched-equivalence form.
+
+    x: [B,H,W,Cin], style: [B,style_dim]. Returns [B,H',W',Cout].
+    """
+    k, _, in_ch, out_ch = p["w"].shape
+    scale = 1.0 / math.sqrt(in_ch * k * k)
+    s = equal_linear(p["mod"], style)  # [B, Cin]
+
+    if demodulate:
+        w_sq = jnp.sum(jnp.square(p["w"]), axis=(0, 1))  # [Cin, Cout]
+        sigma = (scale * scale) * (jnp.square(s) @ w_sq)  # [B, Cout]
+        demod = lax.rsqrt(sigma + 1e-8)
+
+    xs = x * s[:, None, None, :].astype(x.dtype)
+    w = (p["w"] * scale).astype(x.dtype)
+
+    if up:
+        # conv_transpose2d(stride=2, pad=0) == dilated conv with flipped taps
+        out = lax.conv_general_dilated(
+            xs,
+            jnp.flip(w, (0, 1)),
+            window_strides=(1, 1),
+            padding=((k - 1, k - 1), (k - 1, k - 1)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        blur = ufd.make_kernel(list(blur_kernel or BLUR_KERNEL))
+        p_ = len(blur_kernel or BLUR_KERNEL) - 2 - (k - 1)
+        pad0 = (p_ + 1) // 2 + 1
+        pad1 = p_ // 2 + 1
+        out = ufd.blur2d(out, blur, pad=(pad0, pad1), upsample_factor=2, impl=impl)
+    elif down:
+        blur = ufd.make_kernel(list(blur_kernel or BLUR_KERNEL))
+        p_ = len(blur_kernel or BLUR_KERNEL) - 2 + (k - 1)
+        pad0 = (p_ + 1) // 2
+        pad1 = p_ // 2
+        xs = ufd.blur2d(xs, blur, pad=(pad0, pad1), impl=impl)
+        out = lax.conv_general_dilated(
+            xs,
+            w,
+            window_strides=(2, 2),
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+    else:
+        pad = k // 2
+        out = lax.conv_general_dilated(
+            xs,
+            w,
+            window_strides=(1, 1),
+            padding=((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    if demodulate:
+        out = out * demod[:, None, None, :].astype(out.dtype)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# generator blocks
+# ---------------------------------------------------------------------------
+
+
+def init_styled_conv(key, in_ch, out_ch, k, style_dim, upsample=False):
+    kc, _ = jax.random.split(key)
+    return {
+        "conv": init_modulated_conv(kc, in_ch, out_ch, k, style_dim),
+        "noise_w": jnp.zeros((), jnp.float32),
+        "act_b": jnp.zeros((out_ch,), jnp.float32),
+    }
+
+
+def styled_conv(p, x, style, noise, upsample=False, impl=None):
+    out = modulated_conv2d(p["conv"], x, style, up=upsample, impl=impl)
+    if noise is not None:
+        out = out + p["noise_w"].astype(out.dtype) * noise.astype(out.dtype)
+    return fused_act.fused_leaky_relu(out, p["act_b"], impl=impl)
+
+
+def init_to_rgb(key, in_ch, style_dim):
+    return {
+        "conv": init_modulated_conv(key, in_ch, 3, 1, style_dim, demodulate=False),
+        "b": jnp.zeros((3,), jnp.float32),
+    }
+
+
+def to_rgb(p, x, style, skip=None, impl=None):
+    out = modulated_conv2d(p["conv"], x, style, demodulate=False, impl=impl)
+    out = out + p["b"].astype(out.dtype)
+    if skip is not None:
+        blur = ufd.make_kernel(list(BLUR_KERNEL))
+        skip = ufd.upsample2d(skip, blur, impl=impl)
+        out = out + skip
+    return out
+
+
+# ---------------------------------------------------------------------------
+# generator
+# ---------------------------------------------------------------------------
+
+
+def n_latent(size: int) -> int:
+    return int(math.log2(size)) * 2 - 2
+
+
+def num_noise_layers(size: int) -> int:
+    return (int(math.log2(size)) - 2) * 2 + 1
+
+
+def noise_shapes(size: int) -> list[tuple[int, int]]:
+    shapes = []
+    for i in range(num_noise_layers(size)):
+        res = 2 ** ((i + 5) // 2)
+        shapes.append((res, res))
+    return shapes
+
+
+def init_generator(
+    key,
+    size: int,
+    style_dim: int = 512,
+    n_mlp: int = 8,
+    channel_multiplier: int = 2,
+    channels: dict[int, int] | None = None,
+) -> Params:
+    channels = channels or channel_table(channel_multiplier)
+    keys = jax.random.split(key, 64)
+    ki = iter(keys)
+
+    style = [
+        init_equal_linear(next(ki), style_dim, style_dim, lr_mul=0.01)
+        for _ in range(n_mlp)
+    ]
+
+    log_size = int(math.log2(size))
+    params: Params = {
+        "style": style,
+        "const": jax.random.normal(next(ki), (1, 4, 4, channels[4]), jnp.float32),
+        "conv1": init_styled_conv(next(ki), channels[4], channels[4], 3, style_dim),
+        "to_rgb1": init_to_rgb(next(ki), channels[4], style_dim),
+        "convs": [],
+        "to_rgbs": [],
+        "noises": [
+            jax.random.normal(next(ki), (1, h, w, 1), jnp.float32)
+            for (h, w) in noise_shapes(size)
+        ],
+    }
+    in_ch = channels[4]
+    for i in range(3, log_size + 1):
+        out_ch = channels[2**i]
+        params["convs"].append(
+            init_styled_conv(next(ki), in_ch, out_ch, 3, style_dim, upsample=True)
+        )
+        params["convs"].append(init_styled_conv(next(ki), out_ch, out_ch, 3, style_dim))
+        params["to_rgbs"].append(init_to_rgb(next(ki), out_ch, style_dim))
+        in_ch = out_ch
+    return params
+
+
+def style_forward(params: Params, z, lr_mul: float = 0.01, impl=None):
+    """The 8-layer mapping network z -> w (networks.py:374-382)."""
+    x = pixel_norm(z)
+    for p in params["style"]:
+        x = equal_linear(p, x, lr_mul=lr_mul, activation=True, impl=impl)
+    return x
+
+
+def mean_latent(params: Params, key, n: int = 4096):
+    z = jax.random.normal(key, (n, params["style"][0]["w"].shape[0]), jnp.float32)
+    return jnp.mean(style_forward(params, z), axis=0, keepdims=True)
+
+
+def make_noise(params: Params, key, batch: int, size: int, per_sample=True):
+    """Fresh per-layer noise, matching randomize_noise=True semantics."""
+    keys = jax.random.split(key, num_noise_layers(size))
+    b = batch if per_sample else 1
+    return [
+        jax.random.normal(k, (b, h, w, 1), jnp.float32)
+        for k, (h, w) in zip(keys, noise_shapes(size))
+    ]
+
+
+def synthesize(
+    params: Params,
+    latent,
+    noise=None,
+    impl=None,
+    dtype=jnp.float32,
+):
+    """Synthesis network: latent [B, n_latent, style_dim] -> image NHWC.
+
+    noise: None -> use the fixed per-model noise buffers (randomize_noise=False
+    semantics); or a list of [B|1, h, w, 1] arrays (injectable for parity
+    tests, networks.py:476-483).
+    """
+    if noise is None:
+        noise = params["noises"]
+    latent = latent.astype(dtype)
+
+    x = jnp.tile(params["const"].astype(dtype), (latent.shape[0], 1, 1, 1))
+    x = styled_conv(params["conv1"], x, latent[:, 0], noise[0], impl=impl)
+    skip = to_rgb(params["to_rgb1"], x, latent[:, 1], impl=impl)
+
+    i = 1
+    for idx in range(0, len(params["convs"]), 2):
+        x = styled_conv(
+            params["convs"][idx], x, latent[:, i], noise[idx + 1], upsample=True, impl=impl
+        )
+        x = styled_conv(
+            params["convs"][idx + 1], x, latent[:, i + 1], noise[idx + 2], impl=impl
+        )
+        skip = to_rgb(
+            params["to_rgbs"][idx // 2], x, latent[:, i + 2], skip, impl=impl
+        )
+        i += 2
+    return skip.astype(jnp.float32)
+
+
+def generator_forward(
+    params: Params,
+    styles,
+    input_is_latent: bool = False,
+    truncation: float = 1.0,
+    truncation_latent=None,
+    noise=None,
+    key=None,
+    size: int | None = None,
+    impl=None,
+    dtype=jnp.float32,
+):
+    """Full G forward (networks.py:460-514). styles: [B, style_dim] z (mapped
+    through the style MLP and broadcast over all layers) or [B, n_latent,
+    style_dim] when input_is_latent."""
+    if not input_is_latent:
+        w = style_forward(params, styles, impl=impl)
+        nl = 2 * len(params["to_rgbs"]) + 2
+        latent = jnp.repeat(w[:, None, :], nl, axis=1)
+    else:
+        latent = styles
+    if truncation < 1.0:
+        latent = truncation_latent + truncation * (latent - truncation_latent)
+    if noise is None and key is not None:
+        sz = size or 4 * 2 ** len(params["to_rgbs"])
+        noise = make_noise(params, key, latent.shape[0], sz)
+    return synthesize(params, latent, noise=noise, impl=impl, dtype=dtype)
+
+
+# ---------------------------------------------------------------------------
+# discriminator
+# ---------------------------------------------------------------------------
+
+
+def init_conv_layer(key, in_ch, out_ch, k, downsample=False, bias=True, activate=True):
+    p = {"conv": init_equal_conv(key, in_ch, out_ch, k, bias=bias and not activate)}
+    if activate and bias:
+        p["act_b"] = jnp.zeros((out_ch,), jnp.float32)
+    return p
+
+
+def conv_layer(p, x, downsample=False, activate=True, impl=None):
+    k = p["conv"]["w"].shape[0]
+    if downsample:
+        blur = ufd.make_kernel(list(BLUR_KERNEL))
+        p_ = (len(BLUR_KERNEL) - 2) + (k - 1)
+        x = ufd.blur2d(x, blur, pad=((p_ + 1) // 2, p_ // 2), impl=impl)
+        out = equal_conv2d(p["conv"], x, stride=2, padding=0)
+    else:
+        out = equal_conv2d(p["conv"], x, stride=1, padding=k // 2)
+    if activate:
+        if "act_b" in p:
+            out = fused_act.fused_leaky_relu(out, p["act_b"], impl=impl)
+        else:
+            out = fused_act.fused_leaky_relu(out, None, impl=impl)
+    return out
+
+
+def init_res_block(key, in_ch, out_ch):
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "conv1": init_conv_layer(k1, in_ch, in_ch, 3),
+        "conv2": init_conv_layer(k2, in_ch, out_ch, 3, downsample=True),
+        "skip": init_conv_layer(k3, in_ch, out_ch, 1, downsample=True, bias=False, activate=False),
+    }
+
+
+def res_block(p, x, impl=None):
+    out = conv_layer(p["conv1"], x, impl=impl)
+    out = conv_layer(p["conv2"], out, downsample=True, impl=impl)
+    skip = conv_layer(p["skip"], x, downsample=True, activate=False, impl=impl)
+    return (out + skip) / math.sqrt(2)
+
+
+def init_discriminator(
+    key, size: int, channel_multiplier: int = 2, channels: dict[int, int] | None = None
+) -> Params:
+    channels = channels or channel_table(channel_multiplier)
+    keys = jax.random.split(key, 32)
+    ki = iter(keys)
+    log_size = int(math.log2(size))
+
+    params: Params = {
+        "from_rgb": init_conv_layer(next(ki), 3, channels[size], 1),
+        "blocks": [],
+    }
+    in_ch = channels[size]
+    for i in range(log_size, 2, -1):
+        out_ch = channels[2 ** (i - 1)]
+        params["blocks"].append(init_res_block(next(ki), in_ch, out_ch))
+        in_ch = out_ch
+    params["final_conv"] = init_conv_layer(next(ki), in_ch + 1, channels[4], 3)
+    params["final_lin1"] = init_equal_linear(next(ki), channels[4] * 16, channels[4])
+    params["final_lin2"] = init_equal_linear(next(ki), channels[4], 1)
+    return params
+
+
+def minibatch_stddev(x, group_size=4, feat=1):
+    """Minibatch stddev channel (networks.py:630-638), NHWC."""
+    b, h, w, c = x.shape
+    g = min(b, group_size)
+    y = x.reshape(g, b // g, h, w, feat, c // feat)
+    var = jnp.var(y, axis=0)
+    std = jnp.sqrt(var + 1e-8)
+    stat = jnp.mean(std, axis=(1, 2, 3, 4), keepdims=False)  # [B/g]
+    stat = stat.reshape(b // g, 1, 1, 1)
+    stat = jnp.tile(stat, (g, h, w, 1))
+    return jnp.concatenate([x, stat.astype(x.dtype)], axis=-1)
+
+
+def discriminator_forward(params: Params, img, impl=None, dtype=jnp.float32):
+    x = img.astype(dtype)
+    x = conv_layer(params["from_rgb"], x, impl=impl)
+    for blk in params["blocks"]:
+        x = res_block(blk, x, impl=impl)
+    x = minibatch_stddev(x)
+    x = conv_layer(params["final_conv"], x, impl=impl)
+    # NHWC flatten order (h, w, c) differs from the reference's NCHW (c, h, w);
+    # the torch checkpoint converter permutes final_lin1's input rows to match.
+    x = x.reshape(x.shape[0], -1)
+    x = equal_linear(params["final_lin1"], x, activation=True, impl=impl)
+    x = equal_linear(params["final_lin2"], x)
+    return x.astype(jnp.float32)

@@ -1,0 +1,176 @@
+"""upfirdn2d — fused upsample + FIR filter + downsample, TPU-native.
+
+Semantics match the reference CUDA op (reference: graphs/stylegan_v2_real/op/
+upfirdn2d.py:144-187, op/upfirdn2d_kernel.cu): zero-stuff the input by ``up``,
+pad by ``pad`` (negative pads crop), cross-correlate with the *flipped* FIR
+kernel (i.e. convolve with the kernel), then keep every ``down``-th sample:
+
+    out_h = (in_h*up + pad0 + pad1 - kh) // down + 1
+
+Layout is NHWC (TPU-native), unlike the reference's NCHW.
+
+Implementations:
+  * ``_upfirdn2d_xla`` — one ``lax.conv_general_dilated`` call: lhs_dilation
+    performs the zero-stuffing, window strides the downsampling, and the
+    depthwise FIR rides the conv units. XLA fuses surrounding elementwise ops.
+  * ``upfirdn2d_ref`` — an independent tap-loop oracle used by parity tests.
+  * a Pallas separable fast path lives in ``pallas_kernels.py`` and is
+    dispatched from here when applicable.
+
+The gradient is XLA's exact conv transpose (the reference implements the same
+rule by hand: swapped up/down, flipped kernel, g_pad = k - pad - 1; see
+op/upfirdn2d.py:110-115).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def make_kernel(k) -> jnp.ndarray:
+    """Build a normalized 2D FIR kernel from a 1D or 2D tap list.
+
+    Mirrors reference networks.py:19-27: outer-product a 1D kernel with itself,
+    then normalize to unit sum.
+    """
+    k = jnp.asarray(k, dtype=jnp.float32)
+    if k.ndim == 1:
+        k = k[None, :] * k[:, None]
+    k = k / jnp.sum(k)
+    return k
+
+
+def _as_pads(pad):
+    """Normalize pad argument to (px0, px1, py0, py1)."""
+    if len(pad) == 2:
+        return pad[0], pad[1], pad[0], pad[1]
+    if len(pad) == 4:
+        return tuple(pad)
+    raise ValueError(f"pad must have 2 or 4 elements, got {pad}")
+
+
+def upfirdn2d(
+    x: jax.Array,
+    kernel: jax.Array,
+    up: int = 1,
+    down: int = 1,
+    pad=(0, 0),
+    impl: str | None = None,
+) -> jax.Array:
+    """Upsample, FIR-filter and downsample a batch of NHWC images.
+
+    Args:
+      x: [B, H, W, C] input.
+      kernel: [kh, kw] FIR kernel (float32).
+      up/down: integer resampling factors (applied to both spatial dims).
+      pad: (pad0, pad1) applied to both dims, or (px0, px1, py0, py1).
+      impl: 'xla' | 'pallas' | None (auto).
+    """
+    px0, px1, py0, py1 = _as_pads(pad)
+    if impl == "pallas":
+        from . import pallas_kernels
+
+        return pallas_kernels.upfirdn2d_pallas(
+            x, kernel, up, up, down, down, px0, px1, py0, py1
+        )
+    return _upfirdn2d_xla(x, kernel, up, up, down, down, px0, px1, py0, py1)
+
+
+def _upfirdn2d_xla(x, kernel, up_x, up_y, down_x, down_y, px0, px1, py0, py1):
+    b, h, w, c = x.shape
+    kh, kw = kernel.shape
+    # Cross-correlate with the flipped kernel == convolve with the kernel.
+    rhs = jnp.flip(kernel, (0, 1)).astype(x.dtype)
+    rhs = jnp.broadcast_to(rhs[:, :, None, None], (kh, kw, 1, c))
+    # lhs_dilation zero-stuffs to (H-1)*up + 1; the reference zero-stuffs to
+    # H*up (trailing zeros), so fold the missing up-1 zeros into the high pad.
+    out = lax.conv_general_dilated(
+        x,
+        rhs,
+        window_strides=(down_y, down_x),
+        padding=((py0, py1 + up_y - 1), (px0, px1 + up_x - 1)),
+        lhs_dilation=(up_y, up_x),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+    return out
+
+
+def upfirdn2d_ref(x, kernel, up=1, down=1, pad=(0, 0)):
+    """Independent tap-loop oracle for parity tests (slow, f32, NHWC).
+
+    Implements the definition directly: zero-stuff, pad/crop, explicit
+    shift-and-accumulate over kernel taps, stride-slice. Shares no code with
+    the conv-based fast path.
+    """
+    px0, px1, py0, py1 = _as_pads(pad)
+    x = np.asarray(x, dtype=np.float64)
+    kernel = np.asarray(kernel, dtype=np.float64)
+    b, h, w, c = x.shape
+    kh, kw = kernel.shape
+
+    # zero-stuff (trailing zeros, matching the reference native impl)
+    up_arr = np.zeros((b, h * up, w * up, c), dtype=x.dtype)
+    up_arr[:, ::up, ::up, :] = x
+
+    # pad (positive) then crop (negative)
+    padded = np.pad(
+        up_arr,
+        ((0, 0), (max(py0, 0), max(py1, 0)), (max(px0, 0), max(px1, 0)), (0, 0)),
+    )
+    padded = padded[
+        :,
+        max(-py0, 0) : padded.shape[1] - max(-py1, 0),
+        max(-px0, 0) : padded.shape[2] - max(-px1, 0),
+        :,
+    ]
+
+    ph, pw = padded.shape[1], padded.shape[2]
+    oh = ph - kh + 1
+    ow = pw - kw + 1
+    out = np.zeros((b, oh, ow, c), dtype=x.dtype)
+    # cross-correlation with the flipped kernel
+    kflip = kernel[::-1, ::-1]
+    for iy in range(kh):
+        for ix in range(kw):
+            out += kflip[iy, ix] * padded[:, iy : iy + oh, ix : ix + ow, :]
+    return out[:, ::down, ::down, :]
+
+
+# ---------------------------------------------------------------------------
+# StyleGAN2-style resampling wrappers (pad conventions per networks.py:30-88).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("factor", "impl"))
+def upsample2d(x, kernel, factor: int = 2, impl: str | None = None):
+    """2x (or ``factor``x) upsample with FIR smoothing (networks.py:30-48)."""
+    kh = kernel.shape[0]
+    p = kh - factor
+    pad0 = (p + 1) // 2 + factor - 1
+    pad1 = p // 2
+    return upfirdn2d(
+        x, kernel * (factor**2), up=factor, down=1, pad=(pad0, pad1), impl=impl
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("factor", "impl"))
+def downsample2d(x, kernel, factor: int = 2, impl: str | None = None):
+    """FIR-smoothed downsample (networks.py:51-69)."""
+    kh = kernel.shape[0]
+    p = kh - factor
+    pad0 = (p + 1) // 2
+    pad1 = p // 2
+    return upfirdn2d(x, kernel, up=1, down=factor, pad=(pad0, pad1), impl=impl)
+
+
+def blur2d(x, kernel, pad, upsample_factor: int = 1, impl: str | None = None):
+    """Plain FIR blur with explicit pads (networks.py:72-88)."""
+    if upsample_factor > 1:
+        kernel = kernel * (upsample_factor**2)
+    return upfirdn2d(x, kernel, up=1, down=1, pad=pad, impl=impl)
