@@ -1,0 +1,233 @@
+"""The editing engine: frozen towers + walk, as pure jitted functions.
+
+Replaces the reference's stateful ``TransformGraph`` god-object (reference:
+graphs/stylegan_v2_real/transform_base.py:246-936, graphs/pggan/
+transform_base.py:211-824) with an ``Editor`` that closes over the frozen
+G/D/R/VGG parameter pytrees and exposes the same capability surface as pure
+functions of (walk_params, inputs):
+
+    get_w           z -> W+ stack [B, L, D]         (:372-378)
+    synthesize      latent -> image NHWC            (:345-357)
+    regress         image -> attr scores [B, A]     (:396-403)
+    unified_alphas  (org, sampled) -> (target, delta) — heals the stylegan
+                    (delta-only, :405-410) vs pggan (clamped-target tuple,
+                    pggan :358-364) API split; both trainers use this one.
+    edit            walk application                (:380-386)
+    apply_alpha     inference edit: regress-current, delta-to-target, walk,
+                    synthesize (:554-603), jitted, no host sync
+    sweep           batched panel sweep for vis/eval — lax.map over panel
+                    alphas instead of the reference's Python loop (:620-627)
+
+The PGGAN backend differences are captured here too: G(z) output is bilinear-
+downsampled x0.5 (pggan :311-321) and D scores a x2 re-upsampled image
+(pggan :480).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from ..models import stylegan2 as sg2
+from ..walks import walks as W
+
+
+@dataclasses.dataclass(frozen=True)
+class EditorConfig:
+    model: str = "stylegan_v2_real"
+    latent: str = "w"  # 'w' | 'z'
+    walk_kind: str = "linear_w"
+    attr_list: tuple[str, ...] = ("Smiling",)
+    attr_idx: tuple[int, ...] = (31,)
+    size: int = 256
+    dim_z: int = 512
+    layers: tuple[int, ...] | None = None
+    alpha_mode: str = "target"  # 'target' (stylegan) | 'delta' (pggan)
+    no_content_loss: bool = False
+    no_gan_loss: bool = False
+    stable_bce: bool = False
+    compute_dtype: Any = jnp.float32
+    kernel_impl: str | None = None  # None|'xla'|'pallas' for ops dispatch
+
+    @property
+    def n_latent(self) -> int:
+        return sg2.n_latent(self.size)
+
+
+class Editor:
+    """Capability surface over frozen towers. All public methods are pure in
+    (walk_params, data); heavyweight paths are jitted with frozen params
+    closed over as compile-time constants living on device."""
+
+    def __init__(
+        self,
+        cfg: EditorConfig,
+        g_params,
+        reg_params,
+        vgg_params=None,
+        d_params=None,
+    ):
+        self.cfg = cfg
+        self.g_params = g_params
+        self.reg_params = reg_params
+        self.vgg_params = vgg_params
+        self.d_params = d_params
+        self._jit_cache: dict[str, Callable] = {}
+
+    # -- building blocks (traceable) --------------------------------------
+
+    def get_w(self, z):
+        """z -> W+ [B, n_latent, D] (style MLP output tiled per layer)."""
+        w = sg2.style_forward(self.g_params, z, impl=self.cfg.kernel_impl)
+        return jnp.repeat(w[:, None, :], self.cfg.n_latent, axis=1)
+
+    def synthesize(self, latent):
+        """W+ [B, L, D] (latent='w') or z [B, D] (latent='z') -> image NHWC."""
+        cfg = self.cfg
+        if cfg.latent == "w":
+            return sg2.synthesize(
+                self.g_params, latent, impl=cfg.kernel_impl, dtype=cfg.compute_dtype
+            )
+        img = sg2.generator_forward(
+            self.g_params, latent, impl=cfg.kernel_impl, dtype=cfg.compute_dtype
+        )
+        if cfg.model == "pggan":
+            img = _bilinear_resize(img, img.shape[1] // 2, img.shape[2] // 2)
+        return img
+
+    def regress(self, img):
+        """image -> scores at the configured attribute indices [B, A]."""
+        from ..models import resnet as rn
+
+        preds, _ = rn.resnet50_forward(
+            self.reg_params, img, dtype=self.cfg.compute_dtype
+        )
+        return preds[:, jnp.asarray(self.cfg.attr_idx)]
+
+    def regress_all(self, img):
+        from ..models import resnet as rn
+
+        preds, _ = rn.resnet50_forward(
+            self.reg_params, img, dtype=self.cfg.compute_dtype
+        )
+        return preds
+
+    def discriminate(self, img):
+        cfg = self.cfg
+        if cfg.model == "pggan":
+            img = _bilinear_resize(img, img.shape[1] * 2, img.shape[2] * 2)
+        return sg2.discriminator_forward(
+            self.d_params, img, impl=cfg.kernel_impl, dtype=cfg.compute_dtype
+        )
+
+    def unified_alphas(self, alpha_org, sampled):
+        """-> (alpha_target, alpha_delta).
+
+        'target' mode: sampled IS the target (stylegan trainers feed it to the
+        BCE); 'delta' mode: sampled is a step, target = clamp(org + step, 0, 1)
+        (pggan transform_base.py:358-364).
+        """
+        if self.cfg.alpha_mode == "delta":
+            target = jnp.clip(alpha_org + sampled, 0.0, 1.0)
+            return target, target - alpha_org
+        return sampled, sampled - alpha_org
+
+    def edit(self, walk_params, latent, alpha, **kw):
+        return W.apply_walk(
+            self.cfg.walk_kind, walk_params, latent, alpha,
+            layers=self.cfg.layers, **kw
+        )
+
+    # -- jitted inference paths -------------------------------------------
+
+    def _jit(self, name, fn):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn)
+        return self._jit_cache[name]
+
+    def apply_alpha(self, walk_params, z, alpha_to_graph, given_w=None, index=None):
+        """Inference-time edit (transform_base.py:554-603).
+
+        Regress the current attribute scores, compute the delta to the
+        requested target, walk, re-synthesize. `index` reproduces the
+        reference's per-attribute masking branch: with a full attribute bank
+        every column moves toward the target; with a sub-bank only the
+        matching column is overridden.
+
+        Returns (edited_img, alpha_org, orig_img).
+        """
+        idx_pos = None
+        if index is not None:
+            # reference branch (:576-583): with a full-table bank `index` is a
+            # direct column; with a sub-bank it maps through attr_idx.
+            if index in self.cfg.attr_idx:
+                idx_pos = self.cfg.attr_idx.index(index)
+            else:
+                idx_pos = int(index)
+
+        def run(wp, z, ag, gw):
+            latent = self.get_w(z) if gw is None else gw
+            if self.cfg.latent == "z":
+                latent = z if gw is None else gw
+            orig = self.synthesize(latent)
+            alpha_org = self.regress(orig)
+            if self.cfg.latent == "z":
+                edited = self.synthesize(self.edit(wp, latent, ag))
+                return edited, alpha_org, orig
+            delta = ag - alpha_org
+            if idx_pos is not None:
+                delta = delta.at[:, idx_pos].set(
+                    (ag[:, 0] if ag.shape[1] == 1 else ag[:, idx_pos])
+                    - alpha_org[:, idx_pos]
+                )
+            edited = self.synthesize(self.edit(wp, latent, delta))
+            return edited, alpha_org, orig
+
+        fn = self._jit(f"apply_alpha_{given_w is None}_{idx_pos}", run)
+        ag = jnp.asarray(alpha_to_graph, jnp.float32)
+        if ag.ndim == 1:
+            ag = ag[:, None]
+        return fn(walk_params, jnp.asarray(z), ag, given_w)
+
+    def sweep(self, walk_params, z, panel_alphas, given_w=None, index=None):
+        """All-panels edit in one device program: returns images [P, B, ...]
+        plus (alpha_org, orig_img). Replaces the host loop at
+        transform_base.py:620-627."""
+
+        def run(wp, z, alphas, gw):
+            latent = self.get_w(z) if gw is None else gw
+            if self.cfg.latent == "z":
+                latent = z if gw is None else gw
+            orig = self.synthesize(latent)
+            alpha_org = self.regress(orig)
+
+            def one(ag):
+                if self.cfg.latent == "z":
+                    return self.synthesize(self.edit(wp, latent, ag))
+                delta = ag - alpha_org
+                return self.synthesize(self.edit(wp, latent, delta))
+
+            imgs = jax.lax.map(one, alphas)
+            return imgs, alpha_org, orig
+
+        fn = self._jit(f"sweep_{given_w is None}", run)
+        pa = jnp.asarray(panel_alphas, jnp.float32)
+        if pa.ndim == 2:
+            pa = pa[:, :, None]
+        return fn(walk_params, jnp.asarray(z), pa, given_w)
+
+
+def _bilinear_resize(img, h, w):
+    """F.upsample(mode='bilinear', align_corners=False) equivalent."""
+    return jax.image.resize(img, (img.shape[0], h, w, img.shape[3]), "linear")
+
+
+def clip_ims(ims) -> "np.ndarray":
+    """[-1,1] float -> uint8 (transform_base.py:551-552). Host-side."""
+    import numpy as np
+
+    return np.uint8(np.clip(((np.asarray(ims) + 1) / 2.0) * 255, 0, 255))

@@ -1,0 +1,169 @@
+"""The jitted walk-training step and epoch loop.
+
+One ``train_step`` fuses the whole iteration the reference spreads over
+train.py:48-116 — two generator forwards, regressor/VGG/D forwards, loss,
+backward through the frozen graph into the walk params only, Adam update —
+into a single XLA program. Under a multi-chip mesh the batch shards over
+'data' and XLA all-reduces walk grads over ICI (see parallel/mesh.py).
+
+Optimizer: Adam(lr, betas=(0.5, 0.99)) exactly as transform_base.py:329-331.
+Alpha targets are sampled device-side per step from a folded key (statistics
+match the reference's host numpy sampling; a host-parity path exists via
+tasks.Task.train_alpha_np).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..parallel import mesh as meshlib
+from ..tasks.transforms import Task
+from . import losses as L
+from .editor import Editor
+
+
+def make_optimizer(lr: float) -> optax.GradientTransformation:
+    return optax.adam(lr, b1=0.5, b2=0.99)
+
+
+def make_train_step(
+    editor: Editor,
+    task: Task,
+    optimizer: optax.GradientTransformation,
+    mesh=None,
+) -> Callable:
+    """Returns step(walk_params, opt_state, z_batch, key) ->
+    (walk_params, opt_state, metrics)."""
+    cfg = editor.cfg
+    n_attr = len(cfg.attr_list)
+
+    def loss_fn(walk_params, z, key):
+        if cfg.latent == "w":
+            latent = editor.get_w(z)
+        else:
+            latent = z
+        img_org = editor.synthesize(latent)
+        alpha_org = editor.regress(img_org)
+
+        sampled, _ = task.train_alpha(key, z.shape[0], n_attr)
+        target, delta = editor.unified_alphas(alpha_org, sampled)
+
+        if cfg.latent == "w":
+            latent_new = editor.edit(walk_params, latent, delta)
+        else:
+            latent_new = editor.edit(walk_params, latent, sampled)
+        img_new = editor.synthesize(latent_new)
+
+        preds = editor.regress(img_new)
+        # stylegan trainers feed the sampled target to the BCE
+        # (train.py:101, transform_base.py:416-424); pggan feeds the clamped
+        # target (train_multi_attr.py:133) — unified_alphas encodes both.
+        reg = L.reg_loss(preds, target, stable=cfg.stable_bce)
+
+        if cfg.no_content_loss:
+            content = 0.0
+        else:
+            content = L.content_loss(editor.vgg_params, img_org, img_new)
+        if cfg.no_gan_loss:
+            gan = 0.0
+        else:
+            gan = L.gan_loss_from_logits(editor.discriminate(img_new))
+
+        total = L.combine(
+            reg,
+            content,
+            gan,
+            no_content_loss=cfg.no_content_loss,
+            no_gan_loss=cfg.no_gan_loss,
+            pggan_gating=(cfg.model == "pggan"),
+        )
+        metrics = {
+            "loss": total,
+            "reg_loss": reg,
+            "content_loss": jnp.asarray(content),
+            "gan_loss": jnp.asarray(gan),
+            "alpha_target_mean": jnp.mean(target),
+        }
+        return total, metrics
+
+    def step(walk_params, opt_state, z, key):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            walk_params, z, key
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, walk_params)
+        walk_params = optax.apply_updates(walk_params, updates)
+        return walk_params, opt_state, metrics
+
+    if mesh is not None:
+        repl = meshlib.replicated(mesh)
+        data = meshlib.batch_sharding(mesh)
+        return jax.jit(
+            step,
+            in_shardings=(repl, repl, data, repl),
+            out_shardings=(repl, repl, repl),
+            donate_argnums=(0, 1),
+        )
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def sample_epoch_z(num_samples: int, dim_z: int, seed: int) -> np.ndarray:
+    """Host z sampling, bit-matching the reference
+    (graph_util.py:5-8, re-seeded per epoch at train.py:45)."""
+    return np.random.RandomState(seed).randn(num_samples, dim_z).astype(np.float32)
+
+
+def train_loop(
+    editor: Editor,
+    task: Task,
+    walk_params,
+    *,
+    num_samples: int,
+    batch_size: int,
+    n_epochs: int,
+    lr: float,
+    mesh=None,
+    seed: int = 0,
+    log_every: int = 10,
+    on_step: Callable | None = None,
+    on_epoch_end: Callable | None = None,
+) -> tuple[Any, list[float]]:
+    """The reference's epoch/iteration structure (train.py:39-132) around the
+    jitted step. Returns (walk_params, loss_history)."""
+    optimizer = make_optimizer(lr)
+    opt_state = optimizer.init(walk_params)
+    step = make_train_step(editor, task, optimizer, mesh=mesh)
+    if mesh is not None:
+        walk_params = meshlib.replicate(mesh, walk_params)
+        opt_state = meshlib.replicate(mesh, opt_state)
+
+    key = jax.random.PRNGKey(seed)
+    history: list[float] = []
+    it_global = 0
+    for epoch in range(n_epochs):
+        zs = sample_epoch_z(num_samples, editor.cfg.dim_z, seed=epoch)
+        iters = num_samples // batch_size
+        for i in range(iters):
+            t0 = time.time()
+            z = zs[i * batch_size : (i + 1) * batch_size]
+            if mesh is not None:
+                z = meshlib.shard_batch(mesh, z)
+            step_key = jax.random.fold_in(key, it_global)
+            walk_params, opt_state, metrics = step(
+                walk_params, opt_state, z, step_key
+            )
+            if on_step is not None or (log_every and i % log_every == 0):
+                metrics = jax.device_get(metrics)
+                history.append(float(metrics["loss"]))
+                if on_step is not None:
+                    on_step(epoch, i, metrics, time.time() - t0)
+            it_global += 1
+        if on_epoch_end is not None:
+            on_epoch_end(epoch, walk_params)
+    return walk_params, history

@@ -1,0 +1,51 @@
+"""Device mesh + sharding for multi-chip walk training.
+
+The reference is strictly single-GPU (SURVEY §2.9); this layer is the
+TPU-native addition: data parallelism over a 1-D ``Mesh(('data',))`` via jit
+with NamedShardings — batches shard over chips, params replicate, and XLA
+inserts the gradient ``psum`` over ICI automatically. Multi-host runs reuse
+the same program after ``jax.distributed.initialize()``; collectives span
+DCN transparently.
+
+No pmap: jit + shardings is the modern single-program path and composes with
+pjit-style 2D meshes later (e.g. ('data', 'model') if a future backend needs
+tensor parallelism).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    devs = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), ("data",))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading axis sharded over chips."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host array as a sharded device array (per-chip slices travel
+    independently; no full-batch copy on any one chip)."""
+    return jax.device_put(batch, batch_sharding(mesh))
+
+
+def replicate(mesh: Mesh, tree):
+    return jax.device_put(tree, replicated(mesh))
+
+
+def pad_to_devices(n: int, n_dev: int) -> int:
+    """Round a global batch up so it divides the mesh."""
+    return ((n + n_dev - 1) // n_dev) * n_dev

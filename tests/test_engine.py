@@ -1,0 +1,183 @@
+"""Engine tests: editor surface, losses, and the multi-chip train step on the
+virtual 8-device CPU mesh — walk params must actually move and losses drop on
+a learnable toy objective."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from latent2im_tpu.engine import losses as L
+from latent2im_tpu.engine.editor import Editor, EditorConfig, clip_ims
+from latent2im_tpu.engine.train import (
+    make_optimizer,
+    make_train_step,
+    sample_epoch_z,
+    train_loop,
+)
+from latent2im_tpu.models import resnet as rn
+from latent2im_tpu.models import stylegan2 as sg2
+from latent2im_tpu.models import vgg as vggm
+from latent2im_tpu.parallel import mesh as meshlib
+from latent2im_tpu.tasks.transforms import get_task
+from latent2im_tpu.walks import init_walk
+
+TINY_CHANNELS = {4: 16, 8: 16, 16: 8, 32: 8}
+SIZE = 32
+STYLE_DIM = 32
+
+
+def _tiny_resnet_like(key, n_out=40):
+    """A small stand-in regressor with the resnet50 call signature is too
+    costly to build here; use the real resnet50 but at tiny input — it works
+    at 32px because of global average pooling."""
+    return rn.init_resnet50(key, num_outputs=n_out)
+
+
+@pytest.fixture(scope="module")
+def editor():
+    key = jax.random.PRNGKey(0)
+    kg, kd, kr, kv = jax.random.split(key, 4)
+    g = sg2.init_generator(kg, SIZE, style_dim=STYLE_DIM, n_mlp=2, channels=TINY_CHANNELS)
+    d = sg2.init_discriminator(kd, SIZE, channels=TINY_CHANNELS)
+    r = _tiny_resnet_like(kr)
+    v = vggm.init_vgg(kv, "vgg19")
+    cfg = EditorConfig(
+        attr_list=("Smiling",),
+        attr_idx=(31,),
+        size=SIZE,
+        dim_z=STYLE_DIM,
+        walk_kind="linear_w",
+    )
+    return Editor(cfg, g, reg_params=r, vgg_params=v, d_params=d)
+
+
+def test_bce_matches_reference_formula():
+    pred = jnp.asarray([0.3, 0.9, 1.5, -0.2])  # raw regressor outputs, unbounded
+    y = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+    got = float(L.raw_bce(pred, y))
+    eps = 1e-12
+    p = np.asarray(pred)
+    want = -np.mean(
+        np.asarray(y) * np.log(np.clip(p, eps, None))
+        + (1 - np.asarray(y)) * np.log(np.clip(1 - p, eps, None))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_loss_combination_gating():
+    r, c, g = 1.0, 2.0, 3.0
+    assert L.combine(r, c, g) == pytest.approx(10 * r + 0.05 * c + 0.05 * g)
+    assert L.combine(r, c, g, no_content_loss=True) == pytest.approx(10 * r + 0.05 * g)
+    # stylegan: bare reg only when BOTH dropped
+    assert L.combine(r, c, g, no_content_loss=True, no_gan_loss=True) == pytest.approx(r)
+    # pggan: bare reg when EITHER dropped
+    assert L.combine(r, c, g, no_content_loss=True, pggan_gating=True) == pytest.approx(
+        r + 0.05 * g
+    )
+
+
+def test_unified_alphas_modes(editor):
+    org = jnp.asarray([[0.8], [0.2]])
+    sampled = jnp.asarray([[0.5], [0.9]])
+    t, d = editor.unified_alphas(org, sampled)
+    np.testing.assert_allclose(np.asarray(t), np.asarray(sampled))
+    np.testing.assert_allclose(np.asarray(d), np.asarray(sampled - org))
+
+    import dataclasses
+
+    ed2 = Editor(
+        dataclasses.replace(editor.cfg, alpha_mode="delta"),
+        editor.g_params,
+        editor.reg_params,
+        editor.vgg_params,
+        editor.d_params,
+    )
+    t2, d2 = ed2.unified_alphas(org, sampled)
+    np.testing.assert_allclose(np.asarray(t2), np.clip(np.asarray(org + sampled), 0, 1))
+    np.testing.assert_allclose(np.asarray(t2 - org), np.asarray(d2))
+
+
+def test_apply_alpha_roundtrip(editor):
+    walk = init_walk(
+        jax.random.PRNGKey(5), "linear_w", STYLE_DIM, editor.cfg.n_latent, ["Smiling"]
+    )
+    z = np.random.RandomState(0).randn(2, STYLE_DIM).astype(np.float32)
+    edited, alpha_org, orig = editor.apply_alpha(walk, z, np.full((2, 1), 0.9))
+    assert edited.shape == (2, SIZE, SIZE, 3)
+    assert alpha_org.shape == (2, 1)
+    assert orig.shape == (2, SIZE, SIZE, 3)
+    u8 = clip_ims(edited)
+    assert u8.dtype == np.uint8
+
+
+def test_sweep_panels(editor):
+    walk = init_walk(
+        jax.random.PRNGKey(5), "linear_w", STYLE_DIM, editor.cfg.n_latent, ["Smiling"]
+    )
+    z = np.random.RandomState(0).randn(2, STYLE_DIM).astype(np.float32)
+    panels = np.linspace(0, 1, 5)[:, None] * np.ones((5, 2))  # [P, B]
+    imgs, alpha_org, orig = editor.sweep(walk, z, panels)
+    assert imgs.shape == (5, 2, SIZE, SIZE, 3)
+    # different panel alphas must give different images
+    assert not np.allclose(np.asarray(imgs[0]), np.asarray(imgs[-1]))
+
+
+def test_train_step_single_device(editor):
+    task = get_task("face")
+    walk = init_walk(
+        jax.random.PRNGKey(7), "linear_w", STYLE_DIM, editor.cfg.n_latent, ["Smiling"]
+    )
+    opt = make_optimizer(1e-3)
+    state = opt.init(walk)
+    step = make_train_step(editor, task, opt)
+    z = jnp.asarray(sample_epoch_z(4, STYLE_DIM, seed=0))
+    w0 = np.asarray(walk["w"]).copy()
+    walk, state, metrics = step(walk, state, z, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert not np.allclose(np.asarray(walk["w"]), w0), "walk params did not move"
+
+
+def test_train_step_multichip_mesh(editor):
+    """Data-parallel step over the virtual 8-device CPU mesh."""
+    assert jax.device_count() >= 8, "conftest should provide 8 CPU devices"
+    mesh = meshlib.make_mesh(8)
+    task = get_task("face")
+    walk = init_walk(
+        jax.random.PRNGKey(7), "linear_w", STYLE_DIM, editor.cfg.n_latent, ["Smiling"]
+    )
+    opt = make_optimizer(1e-3)
+    state = meshlib.replicate(mesh, opt.init(walk))
+    walk = meshlib.replicate(mesh, walk)
+    step = make_train_step(editor, task, opt, mesh=mesh)
+    z = meshlib.shard_batch(mesh, sample_epoch_z(16, STYLE_DIM, seed=0))
+    walk2, state, metrics = step(walk, state, z, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_train_loop_smoke(editor):
+    task = get_task("face")
+    walk = init_walk(
+        jax.random.PRNGKey(7), "linear_w", STYLE_DIM, editor.cfg.n_latent, ["Smiling"]
+    )
+    logs = []
+    walk, history = train_loop(
+        editor,
+        task,
+        walk,
+        num_samples=8,
+        batch_size=4,
+        n_epochs=1,
+        lr=1e-3,
+        log_every=1,
+        on_step=lambda e, i, m, dt: logs.append(m),
+    )
+    assert len(history) == 2
+    assert all(np.isfinite(h) for h in history)
+
+
+def test_epoch_z_matches_reference_rng():
+    """Reference: np.random.RandomState(seed).randn (graph_util.py:5-8)."""
+    z = sample_epoch_z(4, 8, seed=3)
+    want = np.random.RandomState(3).randn(4, 8).astype(np.float32)
+    np.testing.assert_allclose(z, want)
