@@ -1,0 +1,91 @@
+"""Benchmark: 1024px StyleGAN2 edit-inference throughput on one TPU chip.
+
+Measures the full editing pipeline per output image — style MLP, synthesis of
+the original, ResNet-50 attribute regression, walk, synthesis of the edit —
+i.e. the work vis_w.py does per panel (two generator forwards + one regressor
+forward), at 1024px, bf16 compute, batch BATCH.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": imgs/sec, "unit": "img/s", "vs_baseline": ratio}
+
+Baseline: BASELINE.md documents the A100-class estimate for the same pipeline
+(A100_EDIT_IMG_S below). The reference repo publishes no numbers (SURVEY §6),
+so this is the north-star target ratio, not a measured torch run.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+# A100-class estimate for the same 1024px edit pipeline (2x G fwd + R fwd,
+# fp16, batch inference, PyTorch with the reference's custom CUDA ops).
+# See BASELINE.md "Measured baselines" for the derivation.
+A100_EDIT_IMG_S = 12.0
+
+BATCH = 4
+SIZE = 1024
+ITERS = 20
+WARMUP = 3
+
+
+def main():
+    from latent2im_tpu.engine.editor import Editor, EditorConfig
+    from latent2im_tpu.models import resnet as rn
+    from latent2im_tpu.models import stylegan2 as sg2
+    from latent2im_tpu.walks import init_walk
+
+    key = jax.random.PRNGKey(0)
+    kg, kr, kw = jax.random.split(key, 3)
+    g = sg2.init_generator(kg, SIZE, style_dim=512, n_mlp=8)
+    reg = rn.init_resnet50(kr, num_outputs=40)
+    cfg = EditorConfig(
+        attr_list=("Smiling",),
+        attr_idx=(31,),
+        size=SIZE,
+        compute_dtype=jnp.bfloat16,
+    )
+    ed = Editor(cfg, g, reg_params=reg)
+    walk = init_walk(kw, "linear_w", 512, cfg.n_latent, ["Smiling"])
+
+    @jax.jit
+    def edit_step(walk_params, z, alpha_target):
+        latent = ed.get_w(z)
+        orig = ed.synthesize(latent)
+        alpha_org = ed.regress(orig)
+        delta = alpha_target - alpha_org
+        edited = ed.synthesize(ed.edit(walk_params, latent, delta))
+        # checksum forces full materialization (guards against lazy backends)
+        return edited, jnp.sum(edited.astype(jnp.float32))
+
+    z = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 512))
+    alpha = jnp.full((BATCH, 1), 0.9, jnp.float32)
+
+    for _ in range(WARMUP):
+        out, chk = edit_step(walk, z, alpha)
+        float(chk)  # host sync
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out, chk = edit_step(walk, z, alpha)
+    float(chk)  # sync once at the end; steps serialize on the device queue
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = BATCH * ITERS / dt
+    print(
+        json.dumps(
+            {
+                "metric": f"stylegan2_{SIZE}px_edit_inference_throughput",
+                "value": round(imgs_per_sec, 3),
+                "unit": "img/s",
+                "vs_baseline": round(imgs_per_sec / A100_EDIT_IMG_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
