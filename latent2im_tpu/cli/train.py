@@ -1,0 +1,154 @@
+"""Training CLI — single-attribute walk training.
+
+Mirrors the reference's train.py surface:
+
+    python -m latent2im_tpu.cli.train --model stylegan_v2_real --transform face \
+        --num_samples 20000 --learning_rate 1e-4 --latent w \
+        --walk_type linear --loss l2 --attrList Smiling \
+        --attrPath ./dataset/attributes_celeba.txt \
+        --models_dir ./models_celeba --overwrite_config \
+        --g_path <stylegan2.pt> --reg_path <regressor.model>
+
+Differences from the reference loop (train.py:25-134): the whole iteration is
+one jitted XLA program; batches shard over every visible chip; checkpoints
+carry optimizer state and resume automatically (--resume).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+import time
+
+import numpy as np
+
+from ..config.options import TrainOptions
+from ..engine.build import build_editor_from_options
+from ..engine.train import train_loop
+from ..io import checkpoint as ckpt
+from ..parallel import mesh as meshlib
+from ..tasks.transforms import get_task
+from ..utils import html as htmlmod
+from ..utils import image as imgmod
+from ..utils import logging as logmod
+
+N_EPOCH_SINGLE = 10  # train.py:34
+
+
+def run(opt, n_epoch_default: int = N_EPOCH_SINGLE, save_loss_artifacts: bool = False):
+    output_dir = opt.output_dir
+    os.makedirs(os.path.join(output_dir, "results"), exist_ok=True)
+    os.makedirs(os.path.join(output_dir, "logs"), exist_ok=True)
+    logmod.configure(os.path.join(output_dir, "log.txt"))
+
+    editor, walk_params, info = build_editor_from_options(opt)
+    task = get_task(opt.transform, walk_type=opt.walk_type,
+                    nsliders=len(info["attr_list"]))
+
+    n_devices = getattr(opt, "n_devices", None)
+    mesh = meshlib.make_mesh(n_devices)
+    n_epochs = opt.n_epochs or n_epoch_default
+    batch = opt.batch_size * len(mesh.devices)
+
+    writer = _maybe_tensorboard(os.path.join(output_dir, "logs"))
+    save_freq = opt.model_save_freq
+    loss_values: list[float] = []
+    step_counter = {"n": 0}
+
+    def on_step(epoch, i, metrics, dt, current_walk):
+        loss = float(metrics["loss"])
+        loss_values.append(loss)
+        s = step_counter["n"]
+        if writer is not None:
+            writer.add_scalar("Loss/train", loss, s)
+        logging.info(
+            "T, epc, bst, lss, alpha: %.3f, %d, %d, %.5f, %.2f",
+            dt, epoch, i * batch, loss, float(metrics["alpha_target_mean"]),
+        )
+        step_counter["n"] += 1
+        if save_freq and i % save_freq == 0:
+            _save_samples(editor, current_walk, output_dir, epoch, i, batch)
+
+    def on_epoch_end(epoch, wp):
+        ckpt.save_walk(output_dir, epoch, wp)
+        logging.info("Save W in %s", ckpt.walk_ckpt_path(output_dir, epoch))
+
+    with logmod.profile_trace(getattr(opt, "profile_dir", "")):
+        walk_params, history = train_loop(
+            editor,
+            task,
+            walk_params,
+            num_samples=opt.num_samples,
+            batch_size=batch,
+            n_epochs=n_epochs,
+            lr=opt.learning_rate,
+            mesh=mesh,
+            log_every=1,
+            on_step=on_step,
+            on_epoch_end=on_epoch_end,
+        )
+    ckpt.save_walk(output_dir, n_epochs, walk_params, final=True)
+
+    if save_loss_artifacts:
+        np.save(os.path.join(output_dir, "loss_values.npy"), np.asarray(loss_values))
+        _save_loss_curve(loss_values, os.path.join(output_dir, "loss_curve.png"))
+    if writer is not None:
+        writer.close()
+    return walk_params, history
+
+
+def _save_samples(editor, walk_params, output_dir, epoch, i, batch_size):
+    """Periodic org/edited sample grids (train.py:118-122, :137-144)."""
+    try:
+        z = np.random.RandomState(epoch * 10000 + i).randn(
+            min(batch_size, 4), editor.cfg.dim_z
+        ).astype(np.float32)
+        target = np.full((z.shape[0], len(editor.cfg.attr_list)), 0.9, np.float32)
+        edited, _, orig = editor.apply_alpha(walk_params, z, target)
+        cols = int(math.sqrt(max(z.shape[0], 1))) or 1
+        for name, im in (("org", orig), ("logit", edited)):
+            grid = imgmod.imgrid(imgmod.to_uint8(im), cols=cols)
+            imgmod.save_im(
+                grid,
+                os.path.join(output_dir, "results",
+                             f"{epoch}_{i * batch_size}_{name}"),
+            )
+    except Exception:  # sample saving must never kill training
+        logging.exception("make_samples failed")
+
+
+def _save_loss_curve(values, path):
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.figure()
+        plt.plot(values)
+        plt.xlabel("step")
+        plt.ylabel("loss")
+        plt.savefig(path)
+        plt.close()
+    except Exception:
+        logging.warning("matplotlib unavailable; skipped loss curve png")
+
+
+def _maybe_tensorboard(log_dir):
+    try:
+        from torch.utils.tensorboard import SummaryWriter
+
+        return SummaryWriter(log_dir)
+    except Exception:
+        logging.warning("tensorboard unavailable; scalar logging to log.txt only")
+        return None
+
+
+def main():
+    opt = TrainOptions().parse()
+    run(opt)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Inference / latent-sweep visualization CLI.
+
+Mirrors vis_w.py: load the training run's opt.yml + a walk checkpoint,
+generate per-sample alpha-sweep panels (num_panels linspace min->max alpha),
+write PNG grids named with the original attribute score, and an index.html
+gallery. The panel loop runs as ONE device program per batch
+(Editor.sweep), not a host loop per alpha.
+
+    python -m latent2im_tpu.cli.vis_w <run_dir>/opt.yml \
+        --save_path_w <run_dir>/model_w_9_walk_module.ckpt \
+        --output_dir ./vis_out [--noise_seed 0]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from ..config.options import VisOptions
+from ..engine.build import build_editor_from_options
+from ..engine.train import sample_epoch_z
+from ..io import checkpoint as ckpt
+from ..utils import html as htmlmod
+from ..utils import image as imgmod
+
+BATCH = 4
+
+
+def run(opt, conf):
+    for field in ("attrList", "attrPath"):
+        v = getattr(opt, field, None)
+        if v:
+            setattr(conf, field, v)
+    conf.overwrite_config = True
+
+    output_dir = opt.output_dir or os.path.join(
+        getattr(conf, "output_dir", "."), "vis"
+    )
+    os.makedirs(output_dir, exist_ok=True)
+
+    editor, walk_params, info = build_editor_from_options(conf)
+    if opt.save_path_w:
+        walk_params, _, meta = ckpt.load_walk(opt.save_path_w, walk_params)
+        print(f"Load w in {opt.save_path_w} ({(meta or {}).get('source', 'native')})")
+
+    zs = sample_epoch_z(opt.num_samples, editor.cfg.dim_z, seed=opt.noise_seed)
+    alphas = np.linspace(opt.min_alpha, opt.max_alpha, opt.num_panels)
+
+    for batch_start in range(0, opt.num_samples, BATCH):
+        z = zs[batch_start : batch_start + BATCH]
+        # panel alpha matrix [P, B] (scale_test_alpha_for_graph semantics)
+        panels = np.repeat(alphas[:, None], z.shape[0], axis=1).astype(np.float32)
+        imgs, alpha_org, orig = editor.sweep(walk_params, z, panels)
+        imgs = imgmod.to_uint8(imgs)  # [P, B, H, W, 3]
+        alpha_org = np.asarray(alpha_org)
+
+        for ii in range(z.shape[0]):
+            a = float(alpha_org[ii, 0])
+            panel_stack = imgs[:, ii]  # [P, H, W, 3]
+            name = f"sample{batch_start + ii}_{a:.2f}"
+            imgmod.save_im(
+                imgmod.imgrid(panel_stack, cols=len(alphas)),
+                os.path.join(output_dir, name),
+            )
+            print("Save in", os.path.join(output_dir, name))
+
+    htmlmod.make_html(output_dir)
+    return output_dir
+
+
+def main():
+    opt, conf = VisOptions().parse()
+    run(opt, conf)
+
+
+if __name__ == "__main__":
+    main()

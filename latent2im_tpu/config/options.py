@@ -1,0 +1,247 @@
+"""CLI flags + yaml config round-trip — the reference's public config surface.
+
+Preserves (reference: options/train_options.py, options/vis_options.py):
+  * grouped argparse flags (--model/--transform/--walk_type/--latent/
+    --attrList/--loss/... with nn/color/biggan/stylegan/pggan groups)
+  * merge precedence: CLI-explicit > yaml config > argparse defaults
+    (train_options.py:150-174)
+  * deterministic experiment dir naming
+    {model}_{transform}_{walk_type}_lr{lr}_{loss}[_{latent}] + prefix/suffix
+    (train_options.py:180-202)
+  * opt.txt / opt.yml dumps with the overwrite guard (train_options.py:109-121)
+  * VisOptions: positional opt.yml + overrides, returning (opt, conf)
+    (vis_options.py:30-48)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from collections import OrderedDict
+
+import yaml
+
+GROUPS = ("nn", "color", "biggan", "stylegan", "pggan")
+
+
+def _build_train_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser("Training Parser")
+    parser.add_argument("--config_file", type=argparse.FileType(mode="r"),
+                        help="configuration yml file")
+    parser.add_argument("--overwrite_config", action="store_true",
+                        help="overwrite config files if they exist")
+    parser.add_argument("--model", default="stylegan_v2_real",
+                        help="generator backend: stylegan_v2_real | pggan")
+    parser.add_argument("--transform", default="face",
+                        help="transform operation, e.g. face, scene, xray")
+    parser.add_argument("--num_samples", type=int, default=20000,
+                        help="number of latent z samples per epoch")
+    parser.add_argument("--loss", type=str, default="l2", choices=["l2", "lpips"])
+    parser.add_argument("--learning_rate", type=float, default=1e-4)
+    parser.add_argument("--walk_type", type=str, default="linear",
+                        choices=["NNz", "linear"])
+    parser.add_argument("--models_dir", type=str, default="./models")
+    parser.add_argument("--model_save_freq", type=int, default=400)
+    parser.add_argument("--name", type=str)
+    parser.add_argument("--suffix", type=str)
+    parser.add_argument("--prefix", type=str)
+    parser.add_argument("--gpu", default="", type=str,
+                        help="kept for CLI parity; device selection is JAX-native")
+    parser.add_argument("--trainEmbed", action="store_true")
+    parser.add_argument("--updateGAN", action="store_true")
+    parser.add_argument("--attrList", type=str)
+    parser.add_argument("--attrPath", type=str, default="")
+    parser.add_argument("--layers", type=str)
+    parser.add_argument("--no_content_loss", action="store_true")
+    parser.add_argument("--no_gan_loss", action="store_true")
+    # TPU-native additions
+    parser.add_argument("--stable_bce", action="store_true",
+                        help="numerically-stable sigmoid BCE instead of the "
+                             "reference's raw-output BCE")
+    parser.add_argument("--n_epochs", type=int, default=None,
+                        help="override epoch count (default 10 single / 3 multi)")
+    parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bfloat16 compute for frozen towers")
+    parser.add_argument("--n_devices", type=int, default=None,
+                        help="restrict the data-parallel mesh size")
+    parser.add_argument("--g_path", type=str, default="",
+                        help="StyleGAN2 .pt checkpoint (g_ema [+ d]) to convert")
+    parser.add_argument("--reg_path", type=str, default="",
+                        help="regressor checkpoint ({'model','optm'}) to convert")
+    parser.add_argument("--vgg_path", type=str, default="",
+                        help="vgg19 features state_dict; random init if empty")
+    parser.add_argument("--profile_dir", type=str, default="",
+                        help="jax.profiler trace output dir (off when empty)")
+    parser.add_argument("--resolution", type=int, default=256,
+                        help="generator resolution (256 matches the reference)")
+    parser.add_argument("--dev_tiny", action="store_true",
+                        help="tiny channel/latent dims for CPU smoke runs")
+
+    group = parser.add_argument_group("nn", "parameters used to specify NN walk")
+    group.add_argument("--eps", type=float, help="step size of each NN block")
+    group.add_argument("--num_steps", type=int, help="number of NN blocks")
+
+    group = parser.add_argument_group("color", "parameters used for color walk")
+    group.add_argument("--channel", type=int)
+
+    group = parser.add_argument_group("biggan", "parameters used for biggan walk")
+    group.add_argument("--category", type=int)
+
+    group = parser.add_argument_group("stylegan", "parameters used for stylegan walk")
+    group.add_argument("--dataset", default="scene")
+    group.add_argument("--latent", default="w", help="z or w")
+    group.add_argument("--truncation_psi", default=1.0)
+
+    group = parser.add_argument_group("pggan", "parameters used for pggan walk")
+    group.add_argument("--dset", default="celebahq")
+    return parser
+
+
+class TrainOptions:
+    def __init__(self):
+        self.parser = _build_train_parser()
+
+    def parse(self, args=None, print_opt: bool = True) -> argparse.Namespace:
+        opt = self.parser.parse_args(args)
+
+        data = {}
+        if opt.config_file:
+            data = yaml.safe_load(opt.config_file) or {}
+            data = _flatten(data)
+
+        argv = sys.argv[1:] if args is None else list(args)
+        option_strings = {}
+        for ag in self.parser._action_groups:
+            for action in ag._group_actions:
+                for s in action.option_strings:
+                    option_strings[s] = action.dest
+        specified = {option_strings[a] for a in argv if a in option_strings}
+
+        ns_args: dict = {}
+        for group in self.parser._action_groups:
+            group_dict = {
+                a.dest: data[a.dest]
+                if a.dest in data and a.dest not in specified
+                else getattr(opt, a.dest, None)
+                for a in group._group_actions
+            }
+            if group.title in ("positional arguments", "optional arguments", "options"):
+                ns_args.update(group_dict)
+            else:
+                ns_args[group.title] = argparse.Namespace(**group_dict)
+        opt = argparse.Namespace(**ns_args)
+        if hasattr(opt, "config_file"):
+            delattr(opt, "config_file")
+
+        opt.output_dir = os.path.join(opt.models_dir, experiment_name(opt))
+        if print_opt:
+            self.print_options(opt)
+        self.opt = opt
+        return opt
+
+    def print_options(self, opt) -> None:
+        opt_dict: "OrderedDict[str, object]" = OrderedDict()
+        lines = ["----------------- Options ---------------"]
+        grouped = []
+        for k, v in sorted(vars(opt).items()):
+            if isinstance(v, argparse.Namespace):
+                grouped.append((k, v))
+                continue
+            default = self.parser.get_default(k)
+            comment = f"\t[default: {default}]" if v != default else ""
+            lines.append(f"{str(k):>25}: {str(v):<30}{comment}")
+            opt_dict[k] = v
+        for k, v in grouped:
+            lines.append(f"{k} ".ljust(20, "-"))
+            opt_dict[k] = OrderedDict()
+            for k1, v1 in sorted(vars(v).items()):
+                default = self.parser.get_default(k1)
+                comment = f"\t[default: {default}]" if v1 != default else ""
+                lines.append(f"{str(k1):>25}: {str(v1):<30}{comment}")
+                opt_dict[k][k1] = v1
+        lines.append("----------------- End -------------------")
+        message = "\n".join(lines)
+        print(message)
+
+        expr_dir = getattr(opt, "output_dir", "./")
+        os.makedirs(expr_dir, exist_ok=True)
+        if not opt.overwrite_config:
+            for f in ("opt.txt", "opt.yml"):
+                assert not os.path.isfile(
+                    os.path.join(expr_dir, f)
+                ), "config file exists, use --overwrite_config"
+        with open(os.path.join(expr_dir, "opt.txt"), "wt") as f:
+            f.write(message + "\n")
+        with open(os.path.join(expr_dir, "opt.yml"), "wt") as f:
+            opt_dict["overwrite_config"] = False
+            yaml.safe_dump(_plain(opt_dict), f, default_flow_style=False,
+                           sort_keys=False)
+
+
+def experiment_name(opt) -> str:
+    """{model}_{transform}_{walk_type}_lr{lr}_{loss}[...] (train_options.py:180-202)."""
+    if getattr(opt, "name", None):
+        out = opt.name
+    else:
+        out = "_".join(
+            [opt.model, opt.transform, opt.walk_type,
+             "lr" + str(opt.learning_rate), opt.loss]
+        )
+        if opt.model == "biggan" and getattr(opt.biggan, "category", None):
+            out += f"_cat{opt.biggan.category}"
+        elif "stylegan" in opt.model:
+            out += f"_{opt.stylegan.latent}"
+        if opt.transform.startswith("color") and opt.color.channel is not None:
+            out += f"_chn{opt.color.channel}"
+    if getattr(opt, "suffix", None):
+        out += opt.suffix
+    if getattr(opt, "prefix", None):
+        out = opt.prefix + out
+    return out
+
+
+class VisOptions:
+    """Positional opt.yml + overrides -> (opt, conf) pair (vis_options.py)."""
+
+    def __init__(self):
+        self.parser = argparse.ArgumentParser("Visualization Parser")
+        p = self.parser
+        p.add_argument("config_file", type=argparse.FileType(mode="r"))
+        p.add_argument("--save_path_w", type=str)
+        p.add_argument("--save_path_gan", type=str)
+        p.add_argument("--gpu", default="", type=str)
+        p.add_argument("--noise_seed", type=int, default=0)
+        p.add_argument("--output_dir")
+        p.add_argument("--attrList", type=str)
+        p.add_argument("--attrPath", type=str, default="")
+        p.add_argument("--num_samples", type=int, default=8)
+        p.add_argument("--num_panels", type=int, default=7)
+        p.add_argument("--max_alpha", type=float, default=1.0)
+        p.add_argument("--min_alpha", type=float, default=0.0)
+
+    def parse(self, args=None):
+        opt = self.parser.parse_args(args)
+        data = yaml.safe_load(opt.config_file) or {}
+        for k, v in data.items():
+            if isinstance(v, dict):
+                data[k] = argparse.Namespace(**v)
+        conf = argparse.Namespace(**data)
+        return opt, conf
+
+
+def _flatten(d: dict) -> dict:
+    out = {}
+    for k, v in d.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v))
+        else:
+            out[k] = v
+    return out
+
+
+def _plain(obj):
+    if isinstance(obj, dict):
+        return {k: _plain(v) for k, v in obj.items()}
+    return obj

@@ -1,0 +1,129 @@
+"""Assemble an Editor + walk from parsed options.
+
+Replaces the reference's dispatch/factory maze (graphs/__init__.py +
+graphs/transform_graph_scene.py dynamic multiple inheritance) with explicit
+construction: options -> attribute vocab -> frozen towers (converted from
+PyTorch checkpoints, or randomly initialized with a loud warning when no
+checkpoint path is given — useful for smoke runs and benchmarking) -> Editor
++ walk params.
+"""
+
+from __future__ import annotations
+
+import logging
+import warnings
+
+import jax
+import jax.numpy as jnp
+
+from ..config import attributes as attrs
+from ..models import resnet as rn
+from ..models import stylegan2 as sg2
+from ..models import vgg as vggm
+from ..walks import init_walk, resolve_walk_kind
+from .editor import Editor, EditorConfig
+
+DIM_Z = 512  # constants.py:2 (both backends)
+RESOLUTION = 256  # constants.py:3
+
+
+def _load_torch(path: str):
+    import torch
+
+    return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def build_editor_from_options(opt, seed: int = 0):
+    """-> (editor, walk_params, task_info dict)."""
+    from ..io import torch_convert as tc
+
+    model = opt.model
+    latent = opt.stylegan.latent if "stylegan" in model else "z"
+    walk_kind = resolve_walk_kind(
+        model, opt.walk_type, latent, train_embed=opt.trainEmbed
+    )
+    attr_list, attr_table = attrs.build_attr_vocab(
+        opt.transform, attr_path=opt.attrPath, attr_list=opt.attrList
+    )
+    attr_idx = attrs.attr_indices(attr_list, attr_table)
+    layers = attrs.parse_layers(opt.layers)
+
+    key = jax.random.PRNGKey(seed)
+    kg, kd, kr, kv, kw = jax.random.split(key, 5)
+    size = getattr(opt, "resolution", None) or RESOLUTION
+    dim_z = DIM_Z
+    tiny = getattr(opt, "dev_tiny", False)
+    channels = None
+    n_mlp = 8
+    if tiny:
+        dim_z, n_mlp = 32, 2
+        channels = {r: (16 if r <= 8 else 8) for r in
+                    (4, 8, 16, 32, 64, 128, 256, 512, 1024)}
+
+    g_path = getattr(opt, "g_path", "")
+    if g_path:
+        ckpt = _load_torch(g_path)
+        g_params = tc.convert_stylegan2_generator(ckpt["g_ema"], size)
+        d_params = (
+            tc.convert_stylegan2_discriminator(ckpt["d"], size)
+            if "d" in ckpt
+            else None
+        )
+    else:
+        warnings.warn(
+            "--g_path not given: using a RANDOMLY initialized generator "
+            "(smoke/bench mode, not a trained model)"
+        )
+        g_params = sg2.init_generator(kg, size, style_dim=dim_z, n_mlp=n_mlp,
+                                      channels=channels)
+        d_params = None
+    if d_params is None and not opt.no_gan_loss:
+        d_params = sg2.init_discriminator(kd, size, channels=channels)
+
+    reg_path = getattr(opt, "reg_path", "")
+    if reg_path:
+        ckpt = _load_torch(reg_path)
+        sd = ckpt["model"] if isinstance(ckpt, dict) and "model" in ckpt else ckpt
+        reg_params = tc.convert_resnet50(sd)
+    else:
+        warnings.warn(
+            "--reg_path not given: using a RANDOMLY initialized regressor"
+        )
+        reg_params = rn.init_resnet50(kr, num_outputs=len(attr_table))
+
+    vgg_path = getattr(opt, "vgg_path", "")
+    if vgg_path:
+        vgg_params = tc.convert_vgg_features(_load_torch(vgg_path), "vgg19")
+    elif opt.no_content_loss:
+        vgg_params = None
+    else:
+        warnings.warn("--vgg_path not given: using a RANDOMLY initialized vgg19")
+        vgg_params = vggm.init_vgg(kv, "vgg19")
+
+    cfg = EditorConfig(
+        model=model,
+        latent=latent,
+        walk_kind=walk_kind,
+        attr_list=tuple(attr_list),
+        attr_idx=tuple(attr_idx),
+        size=size,
+        dim_z=dim_z,
+        layers=layers,
+        alpha_mode="delta" if model == "pggan" else "target",
+        no_content_loss=opt.no_content_loss,
+        no_gan_loss=opt.no_gan_loss,
+        stable_bce=getattr(opt, "stable_bce", False),
+        compute_dtype=jnp.bfloat16 if getattr(opt, "bf16", False) else jnp.float32,
+    )
+    editor = Editor(cfg, g_params, reg_params=reg_params, vgg_params=vgg_params,
+                    d_params=d_params)
+    walk_params = init_walk(kw, walk_kind, dim_z, cfg.n_latent, attr_list)
+    logging.info(
+        "built editor: model=%s latent=%s walk=%s attrs=%s layers=%s",
+        model, latent, walk_kind, attr_list[:4], layers,
+    )
+    return editor, walk_params, {
+        "attr_list": attr_list,
+        "attr_table": attr_table,
+        "attr_idx": attr_idx,
+    }

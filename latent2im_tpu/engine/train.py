@@ -162,7 +162,9 @@ def train_loop(
                 metrics = jax.device_get(metrics)
                 history.append(float(metrics["loss"]))
                 if on_step is not None:
-                    on_step(epoch, i, metrics, time.time() - t0)
+                    # NOTE: the step donates its input buffers — callbacks must
+                    # use these CURRENT params, never a stale pre-step tree.
+                    on_step(epoch, i, metrics, time.time() - t0, walk_params)
             it_global += 1
         if on_epoch_end is not None:
             on_epoch_end(epoch, walk_params)

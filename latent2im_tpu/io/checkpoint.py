@@ -1,0 +1,116 @@
+"""Checkpoint save/load/resume.
+
+The reference pickles whole torch modules per epoch with no optimizer state
+and no resume (transform_base.py:492-509; SURVEY §5.4). Here checkpoints are
+msgpack pytrees carrying walk params + optimizer state + progress counters,
+so preempted TPU runs resume exactly; the file naming surface
+(``model_w_{epoch}`` / ``model_w_{n}_final`` + ``_walk_module.ckpt``) is kept
+so downstream tooling finds the same names (train.py:124-132).
+
+Reference torch walk checkpoints are read through io.torch_convert.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_pytree(path: str, tree: Any, meta: dict | None = None) -> None:
+    tree = jax.device_get(tree)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(tree))
+    if meta is not None:
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
+
+
+def load_pytree(path: str, like: Any) -> Any:
+    """Restore a pytree saved by save_pytree; `like` supplies the structure."""
+    with open(path, "rb") as f:
+        return serialization.from_bytes(like, f.read())
+
+
+def load_meta(path: str) -> dict | None:
+    mp = path + ".meta.json"
+    if os.path.exists(mp):
+        with open(mp) as f:
+            return json.load(f)
+    return None
+
+
+def walk_ckpt_path(output_dir: str, epoch, final: bool = False) -> str:
+    """model_w_{epoch}[_final]_walk_module.ckpt naming (train.py:124-132)."""
+    tag = f"model_w_{epoch}_final" if final else f"model_w_{epoch}"
+    return os.path.join(output_dir, f"{tag}_walk_module.ckpt")
+
+
+def save_walk(
+    output_dir: str,
+    epoch,
+    walk_params,
+    opt_state=None,
+    final: bool = False,
+    extra_meta: dict | None = None,
+) -> str:
+    path = walk_ckpt_path(output_dir, epoch, final=final)
+    tree = {"walk": walk_params}
+    if opt_state is not None:
+        tree["opt_state"] = opt_state
+    meta = {"epoch": int(epoch) if isinstance(epoch, (int, np.integer)) else epoch,
+            "final": final}
+    meta.update(extra_meta or {})
+    save_pytree(path, tree, meta)
+    return path
+
+
+def load_walk(path: str, walk_like, opt_state_like=None):
+    """-> (walk_params, opt_state|None, meta|None).
+
+    Falls back to the reference's torch pickle format transparently.
+    """
+    with open(path, "rb") as f:
+        head = f.read(2)
+    if head == b"PK" or head == b"\x80\x02" or _looks_like_torch(path):
+        from .torch_convert import convert_walk_state, load_walk_checkpoint
+
+        cls, state = load_walk_checkpoint(path)
+        return convert_walk_state(cls, state, []), None, {"source": "torch", "cls": cls}
+    like = {"walk": walk_like}
+    if opt_state_like is not None:
+        like["opt_state"] = opt_state_like
+    try:
+        tree = load_pytree(path, like)
+    except Exception:
+        tree = {"walk": load_pytree(path, {"walk": walk_like})["walk"]}
+    return tree["walk"], tree.get("opt_state"), load_meta(path)
+
+
+def _looks_like_torch(path: str) -> bool:
+    with open(path, "rb") as f:
+        head = f.read(8)
+    return head.startswith(b"PK") or head.startswith(b"\x80")
+
+
+def find_resume(output_dir: str) -> str | None:
+    """Latest epoch checkpoint in output_dir, or None."""
+    if not os.path.isdir(output_dir):
+        return None
+    best, best_epoch = None, -1
+    for name in os.listdir(output_dir):
+        if name.startswith("model_w_") and name.endswith("_walk_module.ckpt"):
+            mid = name[len("model_w_"):-len("_walk_module.ckpt")]
+            if mid.endswith("_final"):
+                continue
+            try:
+                ep = int(mid)
+            except ValueError:
+                continue
+            if ep > best_epoch:
+                best, best_epoch = os.path.join(output_dir, name), ep
+    return best

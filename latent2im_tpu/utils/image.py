@@ -1,0 +1,58 @@
+"""Image grid assembly and saving.
+
+Same output surface as the reference's utils/image.py (imgrid tiling with
+1px white padding, PNG save), NHWC uint8. A native C++ fast path for grid
+assembly is used when the extension is built (native/); numpy otherwise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import PIL.Image
+
+
+def imgrid(imarray: np.ndarray, cols: int = 5, pad: int = 1) -> np.ndarray:
+    """Tile [N, H, W, C] uint8 images into a grid with `pad`px white seams."""
+    if imarray.dtype != np.uint8:
+        raise ValueError("imgrid input imarray must be uint8")
+    pad = int(pad)
+    cols = int(cols)
+    assert pad >= 0 and cols >= 1
+    n, h, w, c = imarray.shape
+    rows = int(np.ceil(n / float(cols)))
+
+    try:
+        from latent2im_tpu.native import _l2i_native  # type: ignore
+
+        return _l2i_native.imgrid(np.ascontiguousarray(imarray), cols, pad)
+    except ImportError:
+        pass
+
+    batch_pad = rows * cols - n
+    imarray = np.pad(
+        imarray,
+        [[0, batch_pad], [0, pad], [0, pad], [0, 0]],
+        "constant",
+        constant_values=255,
+    )
+    hp, wp = h + pad, w + pad
+    grid = (
+        imarray.reshape(rows, cols, hp, wp, c)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(rows * hp, cols * wp, c)
+    )
+    if pad:
+        grid = grid[:-pad, :-pad]
+    return np.squeeze(grid)
+
+
+def save_im(a: np.ndarray, filename: str, format: str = "png") -> None:
+    """Save a uint8 array as `{filename}.{format}`."""
+    a = np.asarray(a, dtype=np.uint8)
+    im = PIL.Image.fromarray(np.squeeze(a))
+    im.save(f"{filename}.{format}")
+
+
+def to_uint8(ims) -> np.ndarray:
+    """[-1,1] float images -> uint8 (the reference's clip_ims)."""
+    return np.uint8(np.clip(((np.asarray(ims) + 1) / 2.0) * 255, 0, 255))

@@ -170,7 +170,7 @@ def test_train_loop_smoke(editor):
         n_epochs=1,
         lr=1e-3,
         log_every=1,
-        on_step=lambda e, i, m, dt: logs.append(m),
+        on_step=lambda e, i, m, dt, wp: logs.append(m),
     )
     assert len(history) == 2
     assert all(np.isfinite(h) for h in history)
