@@ -55,13 +55,60 @@ def build_editor_from_options(opt, seed: int = 0):
     tiny = getattr(opt, "dev_tiny", False)
     channels = None
     n_mlp = 8
-    if tiny:
+    if tiny and model != "pggan":  # the PGGAN ladder is fixed at 512-d z
         dim_z, n_mlp = 32, 2
         channels = {r: (16 if r <= 8 else 8) for r in
                     (4, 8, 16, 32, 64, 128, 256, 512, 1024)}
 
+    synth_fn = disc_fn = None
     g_path = getattr(opt, "g_path", "")
-    if g_path:
+    if model == "pggan":
+        from ..models import pggan as pgg
+
+        # step/alpha progressive forward; step 6 = 256px (constants.py:3),
+        # output bilinear-downsampled x0.5 and D fed a x2 re-upsample
+        # (pggan transform_base.py:311-321, :480).
+        step = int(__import__("math").log2(size)) - 2
+        if g_path:
+            ckpt = _load_torch(g_path)
+            gsd = ckpt.get("g_running", ckpt.get("netG", ckpt)) if isinstance(
+                ckpt, dict
+            ) else ckpt
+            if hasattr(gsd, "state_dict"):
+                gsd = gsd.state_dict()
+            g_params = tc.convert_pggan_generator(gsd)
+            d_params = None
+            if isinstance(ckpt, dict) and "netD" in ckpt:
+                dsd = ckpt["netD"]
+                if hasattr(dsd, "state_dict"):
+                    dsd = dsd.state_dict()
+                d_params = tc.convert_pggan_discriminator(dsd)
+        else:
+            warnings.warn(
+                "--g_path not given: using a RANDOMLY initialized PGGAN "
+                "(smoke/bench mode, not a trained model)"
+            )
+            g_params = pgg.init_generator(kg, n_label=0)
+            d_params = None
+        if d_params is None and not opt.no_gan_loss:
+            d_params = pgg.init_discriminator(kd)
+        cdt = jnp.bfloat16 if getattr(opt, "bf16", False) else jnp.float32
+
+        def synth_fn(z, _g=g_params, _step=step):
+            img = pgg.generator_forward(_g, z, step=_step, dtype=cdt)
+            return jax.image.resize(
+                img, (img.shape[0], img.shape[1] // 2, img.shape[2] // 2, 3),
+                "linear",
+            )
+
+        def disc_fn(img, _d=d_params, _step=step):
+            up = jax.image.resize(
+                img, (img.shape[0], img.shape[1] * 2, img.shape[2] * 2, 3),
+                "linear",
+            )
+            score, _ = pgg.discriminator_forward(_d, up, step=_step, dtype=cdt)
+            return score
+    elif g_path:
         ckpt = _load_torch(g_path)
         g_params = tc.convert_stylegan2_generator(ckpt["g_ema"], size)
         d_params = (
@@ -69,6 +116,8 @@ def build_editor_from_options(opt, seed: int = 0):
             if "d" in ckpt
             else None
         )
+        if d_params is None and not opt.no_gan_loss:
+            d_params = sg2.init_discriminator(kd, size, channels=channels)
     else:
         warnings.warn(
             "--g_path not given: using a RANDOMLY initialized generator "
@@ -77,8 +126,8 @@ def build_editor_from_options(opt, seed: int = 0):
         g_params = sg2.init_generator(kg, size, style_dim=dim_z, n_mlp=n_mlp,
                                       channels=channels)
         d_params = None
-    if d_params is None and not opt.no_gan_loss:
-        d_params = sg2.init_discriminator(kd, size, channels=channels)
+        if not opt.no_gan_loss:
+            d_params = sg2.init_discriminator(kd, size, channels=channels)
 
     reg_path = getattr(opt, "reg_path", "")
     if reg_path:
@@ -116,7 +165,7 @@ def build_editor_from_options(opt, seed: int = 0):
         compute_dtype=jnp.bfloat16 if getattr(opt, "bf16", False) else jnp.float32,
     )
     editor = Editor(cfg, g_params, reg_params=reg_params, vgg_params=vgg_params,
-                    d_params=d_params)
+                    d_params=d_params, synth_fn=synth_fn, disc_fn=disc_fn)
     walk_params = init_walk(kw, walk_kind, dim_z, cfg.n_latent, attr_list)
     logging.info(
         "built editor: model=%s latent=%s walk=%s attrs=%s layers=%s",

@@ -70,34 +70,44 @@ class Editor:
         reg_params,
         vgg_params=None,
         d_params=None,
+        synth_fn: Callable | None = None,
+        disc_fn: Callable | None = None,
+        map_fn: Callable | None = None,
     ):
+        """synth_fn/disc_fn/map_fn inject a non-StyleGAN2 backend (e.g. PGGAN:
+        see engine/build.py) without subclassing; they receive the latent /
+        image and must be jit-traceable."""
         self.cfg = cfg
         self.g_params = g_params
         self.reg_params = reg_params
         self.vgg_params = vgg_params
         self.d_params = d_params
+        self._synth_fn = synth_fn
+        self._disc_fn = disc_fn
+        self._map_fn = map_fn
         self._jit_cache: dict[str, Callable] = {}
 
     # -- building blocks (traceable) --------------------------------------
 
     def get_w(self, z):
         """z -> W+ [B, n_latent, D] (style MLP output tiled per layer)."""
+        if self._map_fn is not None:
+            return self._map_fn(z)
         w = sg2.style_forward(self.g_params, z, impl=self.cfg.kernel_impl)
         return jnp.repeat(w[:, None, :], self.cfg.n_latent, axis=1)
 
     def synthesize(self, latent):
         """W+ [B, L, D] (latent='w') or z [B, D] (latent='z') -> image NHWC."""
         cfg = self.cfg
+        if self._synth_fn is not None:
+            return self._synth_fn(latent)
         if cfg.latent == "w":
             return sg2.synthesize(
                 self.g_params, latent, impl=cfg.kernel_impl, dtype=cfg.compute_dtype
             )
-        img = sg2.generator_forward(
+        return sg2.generator_forward(
             self.g_params, latent, impl=cfg.kernel_impl, dtype=cfg.compute_dtype
         )
-        if cfg.model == "pggan":
-            img = _bilinear_resize(img, img.shape[1] // 2, img.shape[2] // 2)
-        return img
 
     def regress(self, img):
         """image -> scores at the configured attribute indices [B, A]."""
@@ -117,11 +127,10 @@ class Editor:
         return preds
 
     def discriminate(self, img):
-        cfg = self.cfg
-        if cfg.model == "pggan":
-            img = _bilinear_resize(img, img.shape[1] * 2, img.shape[2] * 2)
+        if self._disc_fn is not None:
+            return self._disc_fn(img)
         return sg2.discriminator_forward(
-            self.d_params, img, impl=cfg.kernel_impl, dtype=cfg.compute_dtype
+            self.d_params, img, impl=self.cfg.kernel_impl, dtype=self.cfg.compute_dtype
         )
 
     def unified_alphas(self, alpha_org, sampled):

@@ -157,6 +157,75 @@ def convert_stylegan2_discriminator(sd: dict, size: int) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# PGGAN (local model_256.py checkpoints)
+# ---------------------------------------------------------------------------
+
+
+def strip_module_prefix(sd: dict) -> dict:
+    """DataParallel checkpoints carry 'module.' prefixes
+    (pggan transform_base.py:568-597)."""
+    return {k[len("module."):] if k.startswith("module.") else k: v
+            for k, v in sd.items()}
+
+
+def convert_pggan_generator(sd: dict) -> dict:
+    """graphs/pggan/model_256.py Generator state_dict -> models.pggan pytree.
+
+    EqualLR renames weights to 'weight_orig' (model_256.py:80-89); plain
+    to_rgb convs keep 'weight'.
+    """
+    sd = strip_module_prefix(sd)
+    from ..models.pggan import G_LADDER
+
+    params: dict[str, Any] = {
+        "label_embed": _np(sd["label_embed.weight"]),
+        "progression": [],
+        "to_rgb": [],
+    }
+    for i in range(len(G_LADDER)):
+        pre = f"progression.{i}.conv"
+        params["progression"].append(
+            {
+                "conv1": {"w": _conv_w(sd[f"{pre}.0.conv.weight_orig"]),
+                          "b": _np(sd[f"{pre}.0.conv.bias"])},
+                "conv2": {"w": _conv_w(sd[f"{pre}.3.conv.weight_orig"]),
+                          "b": _np(sd[f"{pre}.3.conv.bias"])},
+                "pads": (3, 1) if i == 0 else (1, 1),
+            }
+        )
+        params["to_rgb"].append(
+            {"w": _conv_w(sd[f"to_rgb.{i}.weight"]),
+             "b": _np(sd[f"to_rgb.{i}.bias"])}
+        )
+    return params
+
+
+def convert_pggan_discriminator(sd: dict) -> dict:
+    sd = strip_module_prefix(sd)
+    from ..models.pggan import D_LADDER
+
+    params: dict[str, Any] = {"progression": [], "from_rgb": []}
+    n = len(D_LADDER)
+    for i in range(n):
+        pre = f"progression.{i}.conv"
+        params["progression"].append(
+            {
+                "conv1": {"w": _conv_w(sd[f"{pre}.0.conv.weight_orig"]),
+                          "b": _np(sd[f"{pre}.0.conv.bias"])},
+                "conv2": {"w": _conv_w(sd[f"{pre}.2.conv.weight_orig"]),
+                          "b": _np(sd[f"{pre}.2.conv.bias"])},
+                "pads": (1, 0) if i == n - 1 else (1, 1),
+            }
+        )
+        params["from_rgb"].append(
+            {"w": _conv_w(sd[f"from_rgb.{i}.weight"]),
+             "b": _np(sd[f"from_rgb.{i}.bias"])}
+        )
+    params["linear"] = {"w": _lin_w(sd["linear.weight"]), "b": _np(sd["linear.bias"])}
+    return params
+
+
+# ---------------------------------------------------------------------------
 # torchvision resnet50 / vgg
 # ---------------------------------------------------------------------------
 
