@@ -1,0 +1,118 @@
+"""Quantitative eval CLI — identity + attribute preservation.
+
+Mirrors the reference's eval.py surface: load a training run's opt.yml + a
+walk checkpoint, generate per-panel edits for each target attribute, bucket
+samples by |Delta target-attr| <= 0.3/0.6/1.0, and report per-bucket
+
+  * identity preservation (1 - mean cosine distance of face embeddings;
+    facenet when --facenet_path is given, VGG-feature fallback otherwise)
+  * attribute preservation (mean |Delta| over non-target regressor outputs)
+
+    python -m latent2im_tpu.cli.eval <run_dir>/opt.yml \
+        --save_path_w <run>/model_w_9_final_walk_module.ckpt \
+        [--facenet_path facenet_vggface2.pt] [--num_samples 64]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+from ..config.options import VisOptions
+from ..engine import evaluation as ev
+from ..engine.build import build_editor_from_options
+from ..engine.train import sample_epoch_z
+from ..io import checkpoint as ckpt
+from ..utils import image as imgmod
+
+BATCH = 4
+
+
+def run(opt, conf):
+    for field in ("attrList", "attrPath"):
+        v = getattr(opt, field, None)
+        if v:
+            setattr(conf, field, v)
+    conf.overwrite_config = True
+
+    editor, walk_params, info = build_editor_from_options(conf)
+    if opt.save_path_w:
+        walk_params, _, _ = ckpt.load_walk(opt.save_path_w, walk_params)
+        print(f"Load w in {opt.save_path_w}")
+
+    facenet_path = getattr(opt, "facenet_path", "")
+    if facenet_path:
+        import jax
+        import torch
+
+        from ..io import torch_convert as tc
+        from ..models import facenet as fn
+
+        sd = torch.load(facenet_path, map_location="cpu", weights_only=False)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        fparams = tc.convert_facenet(sd)
+        embed_jit = jax.jit(lambda x: fn.facenet_forward(fparams, x))
+
+        def embed_fn(imgs_u8):
+            return embed_jit(ev.resize_for_embedding(imgs_u8, 160))
+
+        embed_name = "facenet-vggface2"
+    else:
+        print("NOTE: no --facenet_path; identity uses a VGG-feature embedding")
+        embed_fn = ev.make_vgg_embed_fn(editor.vgg_params)
+        embed_name = "vgg-fallback"
+
+    from ..tasks.transforms import get_task
+
+    task = get_task(conf.transform, walk_type=conf.walk_type)
+    panel_alphas = task.test_alphas()
+
+    zs = sample_epoch_z(opt.num_samples, editor.cfg.dim_z, seed=opt.noise_seed)
+    report = {}
+    for a_pos, attr in enumerate(editor.cfg.attr_list):
+        acc = ev.EvalAccumulator()
+        for bs in range(0, opt.num_samples, BATCH):
+            z = zs[bs : bs + BATCH]
+            panels = np.repeat(
+                np.asarray(panel_alphas, np.float32)[:, None], z.shape[0], axis=1
+            )
+            imgs, alpha_org, orig = editor.sweep(walk_params, z, panels)
+            orig_u8 = imgmod.to_uint8(orig)
+            org_all = np.asarray(editor.regress_all(orig))
+            for pi in range(imgs.shape[0]):
+                ed_u8 = imgmod.to_uint8(imgs[pi])
+                pred_all = np.asarray(editor.regress_all(imgs[pi]))
+                acc.add_batch(
+                    pred_all, org_all, ed_u8, orig_u8,
+                    target_idx=editor.cfg.attr_idx[a_pos],
+                )
+        identity = ev.identity_preservation(acc, embed_fn)
+        attr_pres = ev.attribute_preservation(acc, editor.cfg.attr_idx[a_pos])
+        report[attr] = {
+            "bucket_counts": acc.counts(),
+            "identity_preservation": identity,
+            "attribute_preservation": attr_pres,
+        }
+        print(f"[{attr}] buckets(<=0.3/0.6/1.0): {acc.counts()}")
+        print(f"[{attr}] identity preservation ({embed_name}): {identity}")
+        print(f"[{attr}] attribute preservation: {attr_pres}")
+
+    out_dir = opt.output_dir or "."
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "eval_report.json"), "w") as f:
+        json.dump({"embedding": embed_name, "results": report}, f, indent=2)
+    return report
+
+
+def main():
+    vo = VisOptions()
+    vo.parser.add_argument("--facenet_path", type=str, default="")
+    opt, conf = vo.parse()
+    run(opt, conf)
+
+
+if __name__ == "__main__":
+    main()

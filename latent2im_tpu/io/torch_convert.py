@@ -295,6 +295,88 @@ def convert_vgg_features(sd: dict, cfg_name: str) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# facenet InceptionResnetV1 (facenet_pytorch layout)
+# ---------------------------------------------------------------------------
+
+
+def convert_facenet(sd: dict) -> dict:
+    """facenet_pytorch InceptionResnetV1 state_dict -> models.facenet pytree."""
+
+    def basic(prefix):
+        return {
+            "w": _conv_w(sd[f"{prefix}.conv.weight"]),
+            "bn": {
+                "gamma": _np(sd[f"{prefix}.bn.weight"]),
+                "beta": _np(sd[f"{prefix}.bn.bias"]),
+                "mean": _np(sd[f"{prefix}.bn.running_mean"]),
+                "var": _np(sd[f"{prefix}.bn.running_var"]),
+            },
+        }
+
+    def conv_b(prefix):
+        return {
+            "w": _conv_w(sd[f"{prefix}.weight"]),
+            "b": _np(sd[f"{prefix}.bias"]),
+        }
+
+    p: dict[str, Any] = {
+        name: basic(name)
+        for name in ("conv2d_1a", "conv2d_2a", "conv2d_2b", "conv2d_3b",
+                     "conv2d_4a", "conv2d_4b")
+    }
+    p["repeat_1"] = [
+        {
+            "branch0": basic(f"repeat_1.{i}.branch0"),
+            "branch1": [basic(f"repeat_1.{i}.branch1.{j}") for j in range(2)],
+            "branch2": [basic(f"repeat_1.{i}.branch2.{j}") for j in range(3)],
+            "conv2d": conv_b(f"repeat_1.{i}.conv2d"),
+        }
+        for i in range(5)
+    ]
+    p["mixed_6a"] = {
+        "branch0": basic("mixed_6a.branch0"),
+        "branch1": [basic(f"mixed_6a.branch1.{j}") for j in range(3)],
+    }
+    p["repeat_2"] = [
+        {
+            "branch0": basic(f"repeat_2.{i}.branch0"),
+            "branch1": [basic(f"repeat_2.{i}.branch1.{j}") for j in range(3)],
+            "conv2d": conv_b(f"repeat_2.{i}.conv2d"),
+        }
+        for i in range(10)
+    ]
+    p["mixed_7a"] = {
+        f"branch{k}": [basic(f"mixed_7a.branch{k}.{j}")
+                       for j in range((2, 2, 3)[k])]
+        for k in range(3)
+    }
+    blocks = [
+        {
+            "branch0": basic(f"repeat_3.{i}.branch0"),
+            "branch1": [basic(f"repeat_3.{i}.branch1.{j}") for j in range(3)],
+            "conv2d": conv_b(f"repeat_3.{i}.conv2d"),
+        }
+        for i in range(5)
+    ]
+    blocks.append(
+        {
+            "branch0": basic("block8.branch0"),
+            "branch1": [basic(f"block8.branch1.{j}") for j in range(3)],
+            "conv2d": conv_b("block8.conv2d"),
+        }
+    )
+    p["repeat_3"] = blocks
+    p["last_linear"] = {"w": _lin_w(sd["last_linear.weight"])}
+    p["last_bn"] = {
+        "gamma": _np(sd["last_bn.weight"]),
+        "beta": _np(sd["last_bn.bias"]),
+        "mean": _np(sd["last_bn.running_mean"]),
+        "var": _np(sd["last_bn.running_var"]),
+    }
+    return p
+
+
+# ---------------------------------------------------------------------------
 # walk checkpoints (pickled whole nn.Modules)
 # ---------------------------------------------------------------------------
 
