@@ -190,7 +190,6 @@ def convert_pggan_generator(sd: dict) -> dict:
                           "b": _np(sd[f"{pre}.0.conv.bias"])},
                 "conv2": {"w": _conv_w(sd[f"{pre}.3.conv.weight_orig"]),
                           "b": _np(sd[f"{pre}.3.conv.bias"])},
-                "pads": (3, 1) if i == 0 else (1, 1),
             }
         )
         params["to_rgb"].append(
@@ -214,7 +213,6 @@ def convert_pggan_discriminator(sd: dict) -> dict:
                           "b": _np(sd[f"{pre}.0.conv.bias"])},
                 "conv2": {"w": _conv_w(sd[f"{pre}.2.conv.weight_orig"]),
                           "b": _np(sd[f"{pre}.2.conv.bias"])},
-                "pads": (1, 0) if i == n - 1 else (1, 1),
             }
         )
         params["from_rgb"].append(
@@ -255,7 +253,6 @@ def convert_resnet50(sd: dict) -> dict:
                 "conv1": {"w": _conv_w(sd[f"{pre}.conv1.weight"]), **bn(f"{pre}.bn1")},
                 "conv2": {"w": _conv_w(sd[f"{pre}.conv2.weight"]), **bn(f"{pre}.bn2")},
                 "conv3": {"w": _conv_w(sd[f"{pre}.conv3.weight"]), **bn(f"{pre}.bn3")},
-                "stride": (1 if li == 0 else 2) if bi == 0 else 1,
             }
             if f"{pre}.downsample.0.weight" in sd:
                 blk["down"] = {
@@ -292,6 +289,40 @@ def convert_vgg_features(sd: dict, cfg_name: str) -> dict:
         convs.append({"w": _conv_w(get(seq_idx, "weight")), "b": _np(get(seq_idx, "bias"))})
         seq_idx += 2  # Conv2d + ReLU
     return {"cfg": cfg_name, "convs": convs}
+
+
+def export_resnet50_torch(params: dict) -> dict:
+    """Inverse of convert_resnet50: pytree -> torchvision-layout state_dict
+    (torch tensors), so checkpoints from the regressor trainer load in the
+    reference's torch pipeline too."""
+    import torch
+
+    sd: dict = {}
+
+    def put_bn(prefix, p):
+        sd[f"{prefix}.weight"] = torch.from_numpy(np.asarray(p["gamma"]))
+        sd[f"{prefix}.bias"] = torch.from_numpy(np.asarray(p["beta"]))
+        sd[f"{prefix}.running_mean"] = torch.from_numpy(np.asarray(p["mean"]))
+        sd[f"{prefix}.running_var"] = torch.from_numpy(np.asarray(p["var"]))
+        sd[f"{prefix}.num_batches_tracked"] = torch.tensor(0, dtype=torch.int64)
+
+    def conv_w_inv(w):
+        return torch.from_numpy(np.transpose(np.asarray(w), (3, 2, 0, 1)))
+
+    sd["conv1.weight"] = conv_w_inv(params["stem"]["w"])
+    put_bn("bn1", params["stem"])
+    for li, blocks in enumerate(params["layers"]):
+        for bi, blk in enumerate(blocks):
+            pre = f"layer{li + 1}.{bi}"
+            for ci in (1, 2, 3):
+                sd[f"{pre}.conv{ci}.weight"] = conv_w_inv(blk[f"conv{ci}"]["w"])
+                put_bn(f"{pre}.bn{ci}", blk[f"conv{ci}"])
+            if "down" in blk:
+                sd[f"{pre}.downsample.0.weight"] = conv_w_inv(blk["down"]["w"])
+                put_bn(f"{pre}.downsample.1", blk["down"])
+    sd["fc.weight"] = torch.from_numpy(np.transpose(np.asarray(params["fc"]["w"])))
+    sd["fc.bias"] = torch.from_numpy(np.asarray(params["fc"]["b"]))
+    return sd
 
 
 # ---------------------------------------------------------------------------

@@ -117,17 +117,23 @@ def _avg_pool2(x):
 
 def init_conv_block(key, cin, cout, k1, p1, k2=None, p2=None):
     k2 = k2 or k1
-    p2 = p1 if p2 is None else p2
     ka, kb = jax.random.split(key)
     return {
         "conv1": _init_equal_conv(ka, k1, k1, cin, cout),
         "conv2": _init_equal_conv(kb, k2, k2, cout, cout),
-        "pads": (p1, p2),
     }
 
 
-def conv_block(p, x, use_pixel_norm: bool):
-    p1, p2 = p["pads"]
+def block_pads(block_idx: int, n_blocks: int, is_g: bool) -> tuple[int, int]:
+    """Pads are structural (4x4 stem pad 3 / final-D 4x4 valid), kept out of
+    the param tree so every leaf stays a float array."""
+    if is_g:
+        return (3, 1) if block_idx == 0 else (1, 1)
+    return (1, 0) if block_idx == n_blocks - 1 else (1, 1)
+
+
+def conv_block(p, x, use_pixel_norm: bool, pads=(1, 1)):
+    p1, p2 = pads
     x = _equal_conv(p["conv1"], x, p1)
     if use_pixel_norm:
         x = pixel_norm(x)
@@ -193,11 +199,12 @@ def generator_forward(params: Params, z, step: int = 6, alpha: float = 1.0,
     upsample = None
     for i in range(step + 1):
         blk = params["progression"][i]
+        pads = block_pads(i, len(params["progression"]), is_g=True)
         if i > 0 and step > 0:
             upsample = _upsample_nearest(out)
-            out = conv_block(blk, upsample, use_pixel_norm=True)
+            out = conv_block(blk, upsample, use_pixel_norm=True, pads=pads)
         else:
-            out = conv_block(blk, out, use_pixel_norm=True)
+            out = conv_block(blk, out, use_pixel_norm=True, pads=pads)
         if i == step:
             out = _plain_conv(params["to_rgb"][i], out)
             if i > 0 and 0 <= alpha < 1:
@@ -249,7 +256,10 @@ def discriminator_forward(params: Params, img, step: int = 6, alpha: float = 1.0
                 (out.shape[0], out.shape[1], out.shape[2], 1), mean_std, out.dtype
             )
             out = jnp.concatenate([out, std_map], axis=-1)
-        out = conv_block(params["progression"][index], out, use_pixel_norm=False)
+        out = conv_block(
+            params["progression"][index], out, use_pixel_norm=False,
+            pads=block_pads(index, n_layer, is_g=False),
+        )
         if i > 0:
             out = _avg_pool2(out)
             if i == step and 0 <= alpha < 1:

@@ -94,26 +94,31 @@ def max_pool(x, window=3, stride=2, padding=1):
 # ---------------------------------------------------------------------------
 
 
+def block_stride(layer_idx: int, block_idx: int) -> int:
+    """Stride is structural (first block of layers 2-4 downsamples); keeping
+    it out of the param tree keeps every leaf differentiable."""
+    return (1 if layer_idx == 0 else 2) if block_idx == 0 else 1
+
+
 def init_bottleneck(key, cin, planes, stride, downsample: bool):
     k1, k2, k3, k4 = jax.random.split(key, 4)
     p = {
         "conv1": init_conv_bn(k1, 1, 1, cin, planes),
         "conv2": init_conv_bn(k2, 3, 3, planes, planes),
         "conv3": init_conv_bn(k3, 1, 1, planes, planes * EXPANSION),
-        "stride": stride,
     }
     if downsample:
         p["down"] = init_conv_bn(k4, 1, 1, cin, planes * EXPANSION)
     return p
 
 
-def bottleneck(p, x, train=False):
+def bottleneck(p, x, stride, train=False):
     stats = {}
     out = conv2d(p["conv1"]["w"], x)
     out, s = batch_norm(p["conv1"], out, train)
     stats["conv1"] = s
     out = jax.nn.relu(out)
-    out = conv2d(p["conv2"]["w"], out, stride=p["stride"], padding=1)
+    out = conv2d(p["conv2"]["w"], out, stride=stride, padding=1)
     out, s = batch_norm(p["conv2"], out, train)
     stats["conv2"] = s
     out = jax.nn.relu(out)
@@ -121,7 +126,7 @@ def bottleneck(p, x, train=False):
     out, s = batch_norm(p["conv3"], out, train)
     stats["conv3"] = s
     if "down" in p:
-        idn = conv2d(p["down"]["w"], x, stride=p["stride"])
+        idn = conv2d(p["down"]["w"], x, stride=stride)
         idn, s = batch_norm(p["down"], idn, train)
         stats["down"] = s
     else:
@@ -167,10 +172,10 @@ def resnet50_forward(params: Params, x, train: bool = False, dtype=jnp.float32):
     out = jax.nn.relu(out)
     out = max_pool(out)
     all_stats = {"stem": stem_stats, "layers": []}
-    for blocks in params["layers"]:
+    for li, blocks in enumerate(params["layers"]):
         layer_stats = []
-        for blk in blocks:
-            out, s = bottleneck(blk, out, train)
+        for bi, blk in enumerate(blocks):
+            out, s = bottleneck(blk, out, block_stride(li, bi), train)
             layer_stats.append(s)
         all_stats["layers"].append(layer_stats)
     out = jnp.mean(out, axis=(1, 2))  # global average pool
@@ -181,19 +186,26 @@ def resnet50_forward(params: Params, x, train: bool = False, dtype=jnp.float32):
 
 
 def apply_bn_stats(params: Params, stats) -> Params:
-    """Fold train-mode BN stat updates back into the param tree."""
-    import copy
-
-    params = copy.deepcopy(params)
+    """Fold train-mode BN stat updates into a NEW param tree (pure, jit-safe)."""
 
     def upd(p, s):
-        if s is not None:
-            p["mean"], p["var"] = s["mean"], s["var"]
+        if s is None:
+            return p
+        out = dict(p)
+        out["mean"], out["var"] = s["mean"], s["var"]
+        return out
 
-    upd(params["stem"], stats["stem"])
+    new = dict(params)
+    new["stem"] = upd(params["stem"], stats["stem"])
+    new_layers = []
     for blocks, lstats in zip(params["layers"], stats["layers"]):
+        nb = []
         for blk, bstats in zip(blocks, lstats):
+            b2 = dict(blk)
             for name in ("conv1", "conv2", "conv3", "down"):
                 if name in blk and bstats.get(name) is not None:
-                    upd(blk[name], bstats[name])
-    return params
+                    b2[name] = upd(blk[name], bstats[name])
+            nb.append(b2)
+        new_layers.append(nb)
+    new["layers"] = new_layers
+    return new
