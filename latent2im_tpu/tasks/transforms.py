@@ -100,10 +100,41 @@ TASKS = {
 }
 
 
-def get_task(transform: str, walk_type: str = "linear", nsliders: int = 1) -> Task:
-    if transform not in TASKS:
-        raise KeyError(
-            f"unknown transform '{transform}' (have {sorted(TASKS)}); "
-            "geometric/color transforms live in tasks/geometric.py"
-        )
-    return TASKS[transform](walk_type=walk_type, nsliders=nsliders)
+def get_task(transform: str, walk_type: str = "linear", nsliders: int = 1, **kw) -> Task:
+    if transform in TASKS:
+        return TASKS[transform](walk_type=walk_type, nsliders=nsliders)
+    from .geometric import GEOMETRIC_TASKS
+
+    if transform in GEOMETRIC_TASKS:
+        return GEOMETRIC_TASKS[transform](walk_type=walk_type, nsliders=nsliders, **kw)
+    raise KeyError(
+        f"unknown transform '{transform}' "
+        f"(have {sorted(TASKS) + sorted(GEOMETRIC_TASKS)})"
+    )
+
+
+def lerp(a: np.ndarray, b: np.ndarray, num_interps: int) -> np.ndarray:
+    """Linear latent interpolation over an extended range
+    (utils/transforms.py:616-621)."""
+    alphas = np.linspace(-1.5, 2.5, num_interps)
+    if a.shape != b.shape:
+        raise ValueError("A and B must have the same shape to interpolate.")
+    return np.array([(1 - al) * a + al * b for al in alphas])
+
+
+def slerp(a: np.ndarray, b: np.ndarray, num_interps: int) -> np.ndarray:
+    """Spherical latent interpolation (utils/transforms.py:623-632)."""
+    alphas = np.linspace(-1.5, 2.5, num_interps)
+    if a.shape != b.shape:
+        raise ValueError("A and B must have the same shape to interpolate.")
+    dots = np.sum(a * b, axis=-1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+    )
+    omega = np.arccos(np.clip(dots, 0.0, 1.0))[..., None] + 1e-9
+    return np.array(
+        [
+            (np.sin((1 - al) * omega) / np.sin(omega)) * a
+            + (np.sin(al * omega) / np.sin(omega)) * b
+            for al in alphas
+        ]
+    )
