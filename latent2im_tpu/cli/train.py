@@ -46,6 +46,19 @@ def run(opt, n_epoch_default: int = N_EPOCH_SINGLE, save_loss_artifacts: bool = 
     task = get_task(opt.transform, walk_type=opt.walk_type,
                     nsliders=len(info["attr_list"]))
 
+    start_epoch, opt_state = 0, None
+    if getattr(opt, "resume", False):
+        from ..engine.train import make_optimizer
+
+        latest = ckpt.find_resume(output_dir)
+        if latest:
+            like_state = make_optimizer(opt.learning_rate).init(walk_params)
+            walk_params, opt_state, meta = ckpt.load_walk(
+                latest, walk_params, opt_state_like=like_state
+            )
+            start_epoch = int((meta or {}).get("epoch", -1)) + 1
+            logging.info("resuming from %s at epoch %d", latest, start_epoch)
+
     n_devices = getattr(opt, "n_devices", None)
     mesh = meshlib.make_mesh(n_devices)
     n_epochs = opt.n_epochs or n_epoch_default
@@ -87,6 +100,8 @@ def run(opt, n_epoch_default: int = N_EPOCH_SINGLE, save_loss_artifacts: bool = 
             log_every=1,
             on_step=on_step,
             on_epoch_end=on_epoch_end,
+            start_epoch=start_epoch,
+            opt_state=opt_state,
         )
     ckpt.save_walk(output_dir, n_epochs, walk_params, final=True)
 

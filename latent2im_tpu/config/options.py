@@ -78,6 +78,9 @@ def _build_train_parser() -> argparse.ArgumentParser:
                         help="generator resolution (256 matches the reference)")
     parser.add_argument("--dev_tiny", action="store_true",
                         help="tiny channel/latent dims for CPU smoke runs")
+    parser.add_argument("--resume", action="store_true",
+                        help="resume from the latest epoch checkpoint in the "
+                             "experiment dir (walk + optimizer state)")
 
     group = parser.add_argument_group("nn", "parameters used to specify NN walk")
     group.add_argument("--eps", type=float, help="step size of each NN block")

@@ -229,6 +229,53 @@ class Editor:
             pa = pa[:, :, None]
         return fn(walk_params, jnp.asarray(z), pa, given_w)
 
+    def apply_alpha_combine(self, walk_params, z, alphas_per_attr, indices,
+                            given_w=None):
+        """Two-(or N-)attribute combined edit (transform_base.py:769-811): the
+        delta starts at zero and only the listed attribute columns move toward
+        their targets. alphas_per_attr: list of [B] or [B,1] arrays aligned
+        with `indices` (regressor-table indices)."""
+        positions = tuple(
+            self.cfg.attr_idx.index(i) if i in self.cfg.attr_idx else int(i)
+            for i in indices
+        )
+
+        def run(wp, z, ags, gw):
+            latent = self.get_w(z) if gw is None else gw
+            orig = self.synthesize(latent)
+            alpha_org = self.regress(orig)
+            delta = jnp.zeros_like(alpha_org)
+            for pos, ag in zip(positions, ags):
+                delta = delta.at[:, pos].set(ag[:, 0] - alpha_org[:, pos])
+            edited = self.synthesize(self.edit(wp, latent, delta))
+            return edited, alpha_org, orig
+
+        fn = self._jit(f"apply_combine_{positions}_{given_w is None}", run)
+        ags = tuple(
+            jnp.asarray(a, jnp.float32).reshape(-1, 1) for a in alphas_per_attr
+        )
+        return fn(walk_params, jnp.asarray(z), ags, given_w)
+
+    def sweep_combine(self, walk_params, z, panel_alphas, indices, given_w=None):
+        """All (alpha_i, alpha_j) pairs for a 2-attribute grid
+        (transform_base.py:814-869): returns images [P, P, B, H, W, C]."""
+        import numpy as np
+
+        panels = np.asarray(panel_alphas)
+        out = []
+        alpha_org = orig = None
+        for a1 in panels:
+            row = []
+            for a2 in panels:
+                edited, alpha_org, orig = self.apply_alpha_combine(
+                    walk_params, z,
+                    [np.full((len(z),), a1), np.full((len(z),), a2)],
+                    indices, given_w=given_w,
+                )
+                row.append(edited)
+            out.append(jnp.stack(row))
+        return jnp.stack(out), alpha_org, orig
+
 
 def _bilinear_resize(img, h, w):
     """F.upsample(mode='bilinear', align_corners=False) equivalent."""

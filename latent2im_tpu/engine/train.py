@@ -133,11 +133,15 @@ def train_loop(
     log_every: int = 10,
     on_step: Callable | None = None,
     on_epoch_end: Callable | None = None,
+    start_epoch: int = 0,
+    opt_state=None,
 ) -> tuple[Any, list[float]]:
     """The reference's epoch/iteration structure (train.py:39-132) around the
-    jitted step. Returns (walk_params, loss_history)."""
+    jitted step. Returns (walk_params, loss_history). Pass start_epoch +
+    opt_state (from io.checkpoint.load_walk) to resume a preempted run."""
     optimizer = make_optimizer(lr)
-    opt_state = optimizer.init(walk_params)
+    if opt_state is None:
+        opt_state = optimizer.init(walk_params)
     step = make_train_step(editor, task, optimizer, mesh=mesh)
     if mesh is not None:
         walk_params = meshlib.replicate(mesh, walk_params)
@@ -145,8 +149,8 @@ def train_loop(
 
     key = jax.random.PRNGKey(seed)
     history: list[float] = []
-    it_global = 0
-    for epoch in range(n_epochs):
+    it_global = start_epoch * (num_samples // batch_size)
+    for epoch in range(start_epoch, n_epochs):
         zs = sample_epoch_z(num_samples, editor.cfg.dim_z, seed=epoch)
         iters = num_samples // batch_size
         for i in range(iters):

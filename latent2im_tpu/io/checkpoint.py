@@ -97,6 +97,23 @@ def _looks_like_torch(path: str) -> bool:
     return head.startswith(b"PK") or head.startswith(b"\x80")
 
 
+def merge_walk_banks(base_walk: dict, singles: list[tuple[str, dict]],
+                     attr_list: list[str]) -> dict:
+    """Merge single-attribute linear-walk checkpoints into one direction bank
+    (the reference's load_multi_models_from_single, transform_base.py:511-520):
+    each single ckpt's first direction row replaces the bank row of the named
+    attribute."""
+    w = np.array(base_walk["w"])
+    for name, single in singles:
+        if name not in attr_list:
+            raise KeyError(f"attribute {name!r} not in bank {attr_list}")
+        row = np.asarray(single["w"])[0]
+        w[attr_list.index(name)] = row
+    out = dict(base_walk)
+    out["w"] = w
+    return out
+
+
 def find_resume(output_dir: str) -> str | None:
     """Latest epoch checkpoint in output_dir, or None."""
     if not os.path.isdir(output_dir):
