@@ -180,6 +180,36 @@ def apply_linear_z(params, z, alpha, layers=None):
     return z + direction
 
 
+def init_linear_z_dir(key, dim_z, n_layers, attr_list, nsliders=1):
+    """Per-slider direction bank in z (the stylegan backend's WalkLinear,
+    transform_base.py:66-83): z + alpha @ W, W [A, D]."""
+    return {"w": 0.02 * jax.random.normal(key, (len(attr_list), dim_z), jnp.float32)}
+
+
+def apply_linear_z_dir(params, z, alpha, layers=None):
+    return z + alpha @ params["w"].astype(z.dtype)
+
+
+def init_mlp_z_norm(key, dim_z, n_layers, attr_list, nsliders=1):
+    """WalkMlpZ2 (pggan transform_base.py:136-165): D->2D->2D->D MLP with
+    unit-normalized delta scaled x3."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "mlp": [
+            _init_linear(k1, dim_z, 2 * dim_z),
+            _init_linear(k2, 2 * dim_z, 2 * dim_z),
+            _init_linear(k3, 2 * dim_z, dim_z),
+        ]
+    }
+
+
+def apply_mlp_z_norm(params, z, alpha, layers=None):
+    al = alpha[:, :1]
+    out = _mlp(params["mlp"], z)
+    out = al * out / jnp.linalg.norm(out, axis=-1, keepdims=True) * 3.0
+    return z + out
+
+
 def init_mlp_z3(key, dim_z, n_layers, attr_list, nsliders=1):
     k1, k2, k3 = jax.random.split(key, 3)
     return {
@@ -227,6 +257,8 @@ REGISTRY: dict[str, tuple[Callable, Callable, str]] = {
     "mlp_z": (init_mlp_z, apply_mlp_z, "z"),
     "linear_z_free": (init_linear_z_free, apply_linear_z_free, "z"),
     "linear_z": (init_linear_z, apply_linear_z, "z"),
+    "linear_z_dir": (init_linear_z_dir, apply_linear_z_dir, "z"),
+    "mlp_z_norm": (init_mlp_z_norm, apply_mlp_z_norm, "z"),
     "mlp_z3": (init_mlp_z3, apply_mlp_z3, "z"),
     "embed": (init_embed, apply_embed, "z"),
 }
