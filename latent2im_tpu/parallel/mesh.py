@@ -49,3 +49,27 @@ def replicate(mesh: Mesh, tree):
 def pad_to_devices(n: int, n_dev: int) -> int:
     """Round a global batch up so it divides the mesh."""
     return ((n + n_dev - 1) // n_dev) * n_dev
+
+
+def init_distributed(coordinator: str | None = None, num_processes: int | None = None,
+                     process_id: int | None = None) -> int:
+    """Multi-host setup: call once per host before building the mesh; the
+    same jit program then spans all hosts, with XLA collectives riding ICI
+    within a slice and DCN across slices. No-ops on single-host.
+
+    Returns the process index.
+    """
+    import jax
+
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    elif coordinator is None:
+        try:  # TPU pod auto-detection (env-driven); harmless elsewhere
+            jax.distributed.initialize()
+        except Exception:
+            pass
+    return jax.process_index()
