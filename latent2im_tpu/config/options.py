@@ -78,6 +78,9 @@ def _build_train_parser() -> argparse.ArgumentParser:
                         help="generator resolution (256 matches the reference)")
     parser.add_argument("--dev_tiny", action="store_true",
                         help="tiny channel/latent dims for CPU smoke runs")
+    parser.add_argument("--kernel_impl", type=str, default=None,
+                        choices=["conv", "stencil", "separable", "pallas"],
+                        help="upfirdn2d/fused-act implementation override")
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest epoch checkpoint in the "
                              "experiment dir (walk + optimizer state)")

@@ -163,6 +163,7 @@ def build_editor_from_options(opt, seed: int = 0):
         no_gan_loss=opt.no_gan_loss,
         stable_bce=getattr(opt, "stable_bce", False),
         compute_dtype=jnp.bfloat16 if getattr(opt, "bf16", False) else jnp.float32,
+        kernel_impl=getattr(opt, "kernel_impl", None),
     )
     editor = Editor(cfg, g_params, reg_params=reg_params, vgg_params=vgg_params,
                     d_params=d_params, synth_fn=synth_fn, disc_fn=disc_fn)

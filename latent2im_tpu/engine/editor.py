@@ -87,6 +87,39 @@ class Editor:
         self._map_fn = map_fn
         self._jit_cache: dict[str, Callable] = {}
 
+    def with_params(self, frozen: dict) -> "Editor":
+        """A lightweight copy with substituted frozen param trees. Used by the
+        train step to pass the big frozen towers as jit ARGUMENTS rather than
+        closures — closures embed every weight as an HLO constant, which
+        bloats the program (the axon compile tunnel rejects the full-size
+        step outright). Injected synth/disc closures keep their captures."""
+        vgg = frozen.get("vgg")
+        if vgg is not None:
+            # re-attach the static cfg-name leaf stripped by frozen_params
+            vgg = {"cfg": self.vgg_params["cfg"], **vgg}
+        elif self.vgg_params is not None:
+            vgg = self.vgg_params
+        ed = Editor(
+            self.cfg,
+            frozen.get("g", self.g_params),
+            reg_params=frozen.get("reg", self.reg_params),
+            vgg_params=vgg,
+            d_params=frozen.get("d", self.d_params),
+            synth_fn=self._synth_fn,
+            disc_fn=self._disc_fn,
+            map_fn=self._map_fn,
+        )
+        return ed
+
+    def frozen_params(self) -> dict:
+        out = {"g": self.g_params, "reg": self.reg_params}
+        if self.vgg_params is not None:
+            # drop the string cfg leaf (not a valid jit argument)
+            out["vgg"] = {k: v for k, v in self.vgg_params.items() if k != "cfg"}
+        if self.d_params is not None:
+            out["d"] = self.d_params
+        return out
+
     # -- building blocks (traceable) --------------------------------------
 
     def get_w(self, z):

@@ -43,25 +43,29 @@ def make_train_step(
     (walk_params, opt_state, metrics)."""
     cfg = editor.cfg
     n_attr = len(cfg.attr_list)
+    # Frozen towers travel as jit ARGUMENTS (closures would embed them as HLO
+    # constants — hundreds of MB of program payload at full size).
+    frozen_host = editor.frozen_params()
 
-    def loss_fn(walk_params, z, key):
+    def loss_fn(walk_params, z, key, frozen):
+        ed = editor.with_params(frozen)
         if cfg.latent == "w":
-            latent = editor.get_w(z)
+            latent = ed.get_w(z)
         else:
             latent = z
-        img_org = editor.synthesize(latent)
-        alpha_org = editor.regress(img_org)
+        img_org = ed.synthesize(latent)
+        alpha_org = ed.regress(img_org)
 
         sampled, _ = task.train_alpha(key, z.shape[0], n_attr)
-        target, delta = editor.unified_alphas(alpha_org, sampled)
+        target, delta = ed.unified_alphas(alpha_org, sampled)
 
         if cfg.latent == "w":
-            latent_new = editor.edit(walk_params, latent, delta)
+            latent_new = ed.edit(walk_params, latent, delta)
         else:
-            latent_new = editor.edit(walk_params, latent, sampled)
-        img_new = editor.synthesize(latent_new)
+            latent_new = ed.edit(walk_params, latent, sampled)
+        img_new = ed.synthesize(latent_new)
 
-        preds = editor.regress(img_new)
+        preds = ed.regress(img_new)
         # stylegan trainers feed the sampled target to the BCE
         # (train.py:101, transform_base.py:416-424); pggan feeds the clamped
         # target (train_multi_attr.py:133) — unified_alphas encodes both.
@@ -70,11 +74,11 @@ def make_train_step(
         if cfg.no_content_loss:
             content = 0.0
         else:
-            content = L.content_loss(editor.vgg_params, img_org, img_new)
+            content = L.content_loss(ed.vgg_params, img_org, img_new)
         if cfg.no_gan_loss:
             gan = 0.0
         else:
-            gan = L.gan_loss_from_logits(editor.discriminate(img_new))
+            gan = L.gan_loss_from_logits(ed.discriminate(img_new))
 
         total = L.combine(
             reg,
@@ -93,9 +97,9 @@ def make_train_step(
         }
         return total, metrics
 
-    def step(walk_params, opt_state, z, key):
+    def step5(walk_params, opt_state, z, key, frozen):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            walk_params, z, key
+            walk_params, z, key, frozen
         )
         updates, opt_state = optimizer.update(grads, opt_state, walk_params)
         walk_params = optax.apply_updates(walk_params, updates)
@@ -104,13 +108,21 @@ def make_train_step(
     if mesh is not None:
         repl = meshlib.replicated(mesh)
         data = meshlib.batch_sharding(mesh)
-        return jax.jit(
-            step,
-            in_shardings=(repl, repl, data, repl),
+        jit_step = jax.jit(
+            step5,
+            in_shardings=(repl, repl, data, repl, repl),
             out_shardings=(repl, repl, repl),
             donate_argnums=(0, 1),
         )
-    return jax.jit(step, donate_argnums=(0, 1))
+        frozen_dev = meshlib.replicate(mesh, frozen_host)
+    else:
+        jit_step = jax.jit(step5, donate_argnums=(0, 1))
+        frozen_dev = jax.device_put(frozen_host)
+
+    def step(walk_params, opt_state, z, key):
+        return jit_step(walk_params, opt_state, z, key, frozen_dev)
+
+    return step
 
 
 def sample_epoch_z(num_samples: int, dim_z: int, seed: int) -> np.ndarray:
