@@ -1,0 +1,82 @@
+"""End-to-end CLI flow: train -> vis -> eval on tiny shapes (CPU)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.mark.slow
+def test_train_vis_eval_flow(tmp_path):
+    from latent2im_tpu.cli.eval import run as eval_run
+    from latent2im_tpu.cli.train import run as train_run
+    from latent2im_tpu.cli.vis_w import run as vis_run
+    from latent2im_tpu.config.options import TrainOptions, VisOptions
+
+    models_dir = str(tmp_path / "models")
+    opt = TrainOptions().parse(
+        [
+            "--model", "stylegan_v2_real", "--transform", "face",
+            "--num_samples", "8", "--learning_rate", "1e-3",
+            "--walk_type", "linear", "--loss", "l2", "--attrList", "Smiling",
+            "--attrPath", "/root/repo/dataset/attributes_celeba.txt",
+            "--models_dir", models_dir, "--overwrite_config",
+            "--dev_tiny", "--resolution", "32", "--n_epochs", "1",
+            "--model_save_freq", "4", "--batch_size", "2", "--n_devices", "1",
+        ],
+        print_opt=True,
+    )
+    walk, history = train_run(opt)
+    assert all(np.isfinite(h) for h in history)
+
+    run_dir = opt.output_dir
+    assert os.path.isfile(os.path.join(run_dir, "opt.yml"))
+    final = os.path.join(run_dir, "model_w_1_final_walk_module.ckpt")
+    assert os.path.isfile(final)
+    assert os.path.isdir(os.path.join(run_dir, "results"))
+
+    vo = VisOptions()
+    vopt, conf = vo.parse(
+        [os.path.join(run_dir, "opt.yml"), "--save_path_w", final,
+         "--output_dir", str(tmp_path / "vis"), "--num_samples", "2",
+         "--num_panels", "3"]
+    )
+    out_dir = vis_run(vopt, conf)
+    pngs = [f for f in os.listdir(out_dir) if f.endswith(".png")]
+    assert len(pngs) == 2
+    assert os.path.isfile(os.path.join(out_dir, "index.html"))
+
+    vo2 = VisOptions()
+    vo2.parser.add_argument("--facenet_path", type=str, default="")
+    eopt, econf = vo2.parse(
+        [os.path.join(run_dir, "opt.yml"), "--save_path_w", final,
+         "--output_dir", str(tmp_path / "eval"), "--num_samples", "4"]
+    )
+    report = eval_run(eopt, econf)
+    assert "Smiling" in report
+    data = json.load(open(tmp_path / "eval" / "eval_report.json"))
+    assert data["results"]["Smiling"]["bucket_counts"]
+
+
+@pytest.mark.slow
+def test_bp_cli_flow(tmp_path):
+    import PIL.Image
+
+    from latent2im_tpu.cli.bp import main as bp_main
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(2):
+        arr = np.random.RandomState(i).randint(0, 255, (40, 48, 3), np.uint8)
+        PIL.Image.fromarray(arr).save(img_dir / f"f{i}.png")
+
+    save_dir = str(tmp_path / "bp_out")
+    bp_main(
+        ["--img_dir", str(img_dir), "--save_dir", save_dir,
+         "--resolution", "32", "--n_loops", "5", "--show_freq", "5",
+         "--dev_tiny", "--batch_size", "2"]
+    )
+    assert os.path.isfile(os.path.join(save_dir, "latent", "0_w.npy"))
+    w = np.load(os.path.join(save_dir, "latent", "0_w.npy"))
+    assert w.shape[0] == 2 and w.shape[1] == 8  # n_latent(32)
