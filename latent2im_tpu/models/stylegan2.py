@@ -171,18 +171,108 @@ def modulated_conv2d(
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
     else:
-        pad = k // 2
-        out = lax.conv_general_dilated(
-            xs,
-            w,
-            window_strides=(1, 1),
-            padding=((pad, pad), (pad, pad)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        h = xs.shape[1]
+        if (
+            k == 3
+            and in_ch <= S2D_MAX_CH
+            and h >= S2D_MIN_RES
+            and h % 2 == 0
+            and xs.shape[2] % 2 == 0
+        ):
+            out = _conv3x3_s2d(xs, w)
+        else:
+            pad = k // 2
+            out = lax.conv_general_dilated(
+                xs,
+                w,
+                window_strides=(1, 1),
+                padding=((pad, pad), (pad, pad)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
 
     if demodulate:
         out = out * demod[:, None, None, :].astype(out.dtype)
     return out
+
+
+# ---------------------------------------------------------------------------
+# space-to-depth 3x3 conv (high-res small-channel layers)
+# ---------------------------------------------------------------------------
+#
+# The top-resolution StyleGAN2 layers have few channels (32 @ 1024, 64 @ 512)
+# so a plain 3x3 conv uses a quarter of the MXU's 128 lanes (profiled at
+# ~10 TF/s vs ~41 TF/s for the 64-ch layer below it). Folding 2x2 spatial
+# blocks into channels turns the 3x3/H/W/C conv into an equivalent
+# 2x2/(H/2)/(W/2)/4C conv with full lanes. Exact rearrangement, no math
+# change: y[2m+py,2n+px,co] = sum_{dy,dx,ci} K[dy+1,dx+1,ci,co] x[...]
+# maps to a 2x2 window over the block grid with kernel entries scattered by
+# dy = 2(dy_blk-1) + ry - py (zero where |dy|>1).
+
+# OFF by default: the isolated rewrite loses end-to-end (56 vs 75 img/s at
+# 1024px) because the s2d/d2s boundary relayouts on full-res activations cost
+# more than the MXU win. To profit, the whole top block (conv-up output,
+# noise/act, ToRGB) must stay resident in s2d form — future work; the
+# equivalence is correct and tested (tests/test_s2d_conv.py). Set
+# S2D_MIN_RES to e.g. 256 to experiment.
+S2D_MIN_RES = 10**9
+S2D_MAX_CH = 64
+
+
+def _space_to_depth(x):
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def _depth_to_space(x):
+    b, h, w, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h, w, 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * 2, w * 2, c)
+
+
+def _s2d_kernel(w):
+    """[3,3,Cin,Cout] -> [2,2,4Cin,4Cout] block-conv kernel.
+
+    With the input pre-padded by 1 (top-left) before space-to-depth, output
+    pixel (2m+py, 2n+px) reads padded rows 2m+py+dy+1 = blocks m+dy_blk with
+    dy_blk in {0,1}: dy = 2*dy_blk + ry - py - 1, zero where |dy| > 1.
+    """
+    cin, cout = w.shape[2], w.shape[3]
+    k2 = jnp.zeros((2, 2, 2, 2, cin, 2, 2, cout), w.dtype)
+    for dby in range(2):
+        for ry in range(2):
+            for py in range(2):
+                dy = 2 * dby + ry - py - 1
+                if not -1 <= dy <= 1:
+                    continue
+                for dbx in range(2):
+                    for rx in range(2):
+                        for px in range(2):
+                            dx = 2 * dbx + rx - px - 1
+                            if not -1 <= dx <= 1:
+                                continue
+                            k2 = k2.at[dby, dbx, ry, rx, :, py, px, :].set(
+                                w[dy + 1, dx + 1]
+                            )
+    # (ry, rx, ci) -> input channel block; (py, px, co) -> output block —
+    # matching _space_to_depth's (2, 2, C) channel ordering.
+    return k2.reshape(2, 2, 4 * cin, 4 * cout)
+
+
+def _conv3x3_s2d(x, w):
+    """3x3 same-pad conv via the space-to-depth equivalence (even H, W)."""
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    x2 = _space_to_depth(xp)  # [(H+2)/2, (W+2)/2, 4C]
+    k2 = _s2d_kernel(w)
+    y2 = lax.conv_general_dilated(
+        x2,
+        k2,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return _depth_to_space(y2)
 
 
 # ---------------------------------------------------------------------------

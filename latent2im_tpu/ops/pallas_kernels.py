@@ -41,14 +41,16 @@ def _interpret() -> bool:
 
 
 def _flrelu_fwd_kernel(x_ref, b_ref, o_ref, *, slope, scale):
-    x = x_ref[:] + b_ref[:]
-    o_ref[:] = jnp.where(x >= 0, x, x * slope) * scale
+    x = x_ref[:].astype(jnp.float32) + b_ref[:].astype(jnp.float32)
+    o_ref[:] = (jnp.where(x >= 0, x, x * slope) * scale).astype(o_ref.dtype)
 
 
 def _flrelu_bwd_kernel(g_ref, o_ref, dx_ref, *, slope, scale):
     # Gradient keyed on the sign of the saved *output* (matches the CUDA rule:
     # act=3, grad=1 uses ref>0), valid because the activation is monotone.
-    dx_ref[:] = g_ref[:] * jnp.where(o_ref[:] > 0, scale, scale * slope)
+    g = g_ref[:].astype(jnp.float32)
+    dx = g * jnp.where(o_ref[:].astype(jnp.float32) > 0, scale, scale * slope)
+    dx_ref[:] = dx.astype(dx_ref.dtype)
 
 
 def _flrelu_call(kernel, args, shape, dtype, slope, scale, row_block):

@@ -92,9 +92,11 @@ def upfirdn2d(
     if impl == "pallas":
         from . import pallas_kernels
 
-        return pallas_kernels.upfirdn2d_pallas(
-            x, kernel, up, up, down, down, px0, px1, py0, py1
-        )
+        if pallas_kernels.pallas_supported(x.shape, kernel.shape, up, down):
+            return pallas_kernels.upfirdn2d_pallas(
+                x, kernel, up, up, down, down, px0, px1, py0, py1
+            )
+        impl = None  # unsupported shape (e.g. C=3 rgb skip): conv fallback
     if impl == "conv":
         return _upfirdn2d_xla(x, kernel, up, up, down, down, px0, px1, py0, py1)
     if impl == "stencil":

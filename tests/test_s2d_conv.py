@@ -1,0 +1,55 @@
+"""Space-to-depth conv equivalence tests."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from latent2im_tpu.models import stylegan2 as sg2
+
+
+def _direct_conv3x3(x, w):
+    return lax.conv_general_dilated(
+        x, w, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
+def test_s2d_matches_direct():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 16, 12, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 5).astype(np.float32))
+    got = sg2._conv3x3_s2d(x, w)
+    want = _direct_conv3x3(x, w)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_s2d_roundtrip():
+    x = jnp.arange(2 * 8 * 8 * 4, dtype=jnp.float32).reshape(2, 8, 8, 4)
+    np.testing.assert_array_equal(
+        np.asarray(sg2._depth_to_space(sg2._space_to_depth(x))), np.asarray(x)
+    )
+
+
+def test_modulated_conv_uses_s2d_consistently(monkeypatch):
+    """With the s2d threshold lowered, the dispatch must be numerically
+    invisible."""
+    monkeypatch.setattr(sg2, "S2D_MIN_RES", 256)
+    key = jax.random.PRNGKey(0)
+    p = sg2.init_modulated_conv(key, 32, 32, 3, 64)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 256, 256, 32))
+    style = jax.random.normal(jax.random.PRNGKey(2), (1, 64))
+    got = sg2.modulated_conv2d(p, x, style)  # s2d path (res 256, ch 32)
+    # force the direct path by shrinking below the threshold on a sub-image:
+    # instead compare against a manual direct conv with the same scaled weights
+    import math
+
+    s = sg2.equal_linear(p["mod"], style)
+    scale = 1.0 / math.sqrt(32 * 9)
+    w_sq = jnp.sum(jnp.square(p["w"]), axis=(0, 1))
+    demod = jax.lax.rsqrt((scale * scale) * (jnp.square(s) @ w_sq) + 1e-8)
+    xs = x * s[:, None, None, :]
+    want = _direct_conv3x3(xs, p["w"] * scale) * demod[:, None, None, :]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3,
+                               atol=2e-3)
