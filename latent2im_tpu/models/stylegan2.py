@@ -217,6 +217,17 @@ def modulated_conv2d(
 S2D_MIN_RES = 10**9
 S2D_MAX_CH = 64
 
+# s2d-resident fast tail for the FINAL synthesis block (stylegan2_fast.py):
+# unlike the isolated s2d conv above, the whole block stays in s2d form with
+# one depth-to-space at the end, so the relayout cost is paid once.
+FAST_TAIL = True
+FAST_TAIL_MAX_CH = 64
+FAST_TAIL_MIN_RES = 512
+# Mid (non-final) blocks measured SLOWER under s2d residency at C=64 (73 vs
+# 83 img/s end-to-end: that layer already runs ~41 TF/s and the x/skip
+# handoff relayouts eat the win), so the mid-block path is off by default.
+FAST_MID_MAX_CH = 0
+
 
 def _space_to_depth(x):
     b, h, w, c = x.shape
@@ -421,7 +432,53 @@ def synthesize(
     skip = to_rgb(params["to_rgb1"], x, latent[:, 1], impl=impl)
 
     i = 1
+    n_blocks = len(params["convs"]) // 2
     for idx in range(0, len(params["convs"]), 2):
+        out_ch = params["convs"][idx]["conv"]["w"].shape[3]
+        is_last = idx // 2 == n_blocks - 1
+        fast_ok = (
+            FAST_TAIL
+            and out_ch <= FAST_TAIL_MAX_CH
+            and x.shape[1] * 2 >= FAST_TAIL_MIN_RES
+        )
+        if fast_ok and not is_last and out_ch <= FAST_MID_MAX_CH:
+            from . import stylegan2_fast as fast
+
+            x, skip = fast.block_s2d(
+                params["convs"][idx],
+                params["convs"][idx + 1],
+                params["to_rgbs"][idx // 2],
+                x,
+                skip,
+                latent[:, i],
+                latent[:, i + 1],
+                latent[:, i + 2],
+                noise[idx + 1],
+                noise[idx + 2],
+                impl=impl,
+            )
+            i += 2
+            continue
+        if is_last and fast_ok:
+            # s2d-resident fast tail (see stylegan2_fast.py): the whole final
+            # block computes at half spatial resolution with 4x channels.
+            from . import stylegan2_fast as fast
+
+            skip = fast.final_block_s2d(
+                params["convs"][idx],
+                params["convs"][idx + 1],
+                params["to_rgbs"][idx // 2],
+                x,
+                skip,
+                latent[:, i],
+                latent[:, i + 1],
+                latent[:, i + 2],
+                noise[idx + 1],
+                noise[idx + 2],
+                impl=impl,
+            )
+            i += 2
+            break
         x = styled_conv(
             params["convs"][idx], x, latent[:, i], noise[idx + 1], upsample=True, impl=impl
         )

@@ -1,0 +1,86 @@
+"""Parity tests: s2d-resident fast tail vs the standard synthesis path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from latent2im_tpu.models import stylegan2 as sg2
+from latent2im_tpu.models import stylegan2_fast as fast
+from latent2im_tpu.ops import upfirdn2d_mod as ufd
+
+
+def test_up_modconv_s2d_matches_standard():
+    key = jax.random.PRNGKey(0)
+    p = sg2.init_modulated_conv(key, 16, 8, 3, 32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 6, 6, 16))
+    style = jax.random.normal(jax.random.PRNGKey(2), (2, 32))
+    want = sg2.modulated_conv2d(p, x, style, up=True)  # [2, 12, 12, 8]
+    got2 = fast.up_modconv_s2d(p, x, style)            # [2, 6, 6, 32]
+    got = fast.depth_to_space(got2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_modconv3x3_s2d_matches_standard():
+    key = jax.random.PRNGKey(3)
+    p = sg2.init_modulated_conv(key, 8, 8, 3, 32)
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 8, 8, 8))
+    style = jax.random.normal(jax.random.PRNGKey(5), (2, 32))
+    want = sg2.modulated_conv2d(p, x, style)
+    got = fast.depth_to_space(
+        fast.modconv3x3_s2d(p, sg2._space_to_depth(x), style)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_to_rgb_s2d_matches_standard():
+    key = jax.random.PRNGKey(6)
+    p = sg2.init_to_rgb(key, 8, 32)
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 8, 8, 8))
+    style = jax.random.normal(jax.random.PRNGKey(8), (2, 32))
+    want = sg2.to_rgb(p, x, style)  # no skip
+    got = fast.depth_to_space(
+        fast.to_rgb_s2d(p, sg2._space_to_depth(x), style)
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_upsample_skip_s2d_matches_upfirdn():
+    skip = jax.random.normal(jax.random.PRNGKey(9), (2, 8, 8, 3))
+    k = ufd.make_kernel(list(sg2.BLUR_KERNEL))
+    want = ufd.upsample2d(skip, k)
+    got = fast.depth_to_space(fast.upsample_skip_s2d(skip))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_final_block_s2d_matches_standard():
+    """The whole fast tail vs running the standard last block."""
+    key = jax.random.PRNGKey(10)
+    k1, k2, k3 = jax.random.split(key, 3)
+    conv_up = sg2.init_styled_conv(k1, 16, 8, 3, 32, upsample=True)
+    conv = sg2.init_styled_conv(k2, 8, 8, 3, 32)
+    torgb = sg2.init_to_rgb(k3, 8, 32)
+    # nonzero noise weights so the noise path is exercised
+    conv_up["noise_w"] = jnp.asarray(0.3)
+    conv["noise_w"] = jnp.asarray(0.2)
+
+    x = jax.random.normal(jax.random.PRNGKey(11), (2, 8, 8, 16))
+    skip = jax.random.normal(jax.random.PRNGKey(12), (2, 8, 8, 3))
+    lat = jax.random.normal(jax.random.PRNGKey(13), (2, 3, 32))
+    n1 = jax.random.normal(jax.random.PRNGKey(14), (2, 16, 16, 1))
+    n2 = jax.random.normal(jax.random.PRNGKey(15), (2, 16, 16, 1))
+
+    want_x = sg2.styled_conv(conv_up, x, lat[:, 0], n1, upsample=True)
+    want_x = sg2.styled_conv(conv, want_x, lat[:, 1], n2)
+    want = sg2.to_rgb(torgb, want_x, lat[:, 2], skip)
+
+    got = fast.final_block_s2d(
+        conv_up, conv, torgb, x, skip, lat[:, 0], lat[:, 1], lat[:, 2], n1, n2
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=5e-4,
+                               atol=5e-4)

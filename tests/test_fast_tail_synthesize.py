@@ -1,0 +1,30 @@
+"""synthesize() with the fast tail on vs off must agree."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from latent2im_tpu.models import stylegan2 as sg2
+
+TINY = {4: 16, 8: 16, 16: 16, 32: 8, 64: 8}
+
+
+def test_synthesize_fast_tail_parity(monkeypatch):
+    params = sg2.init_generator(jax.random.PRNGKey(0), 64, style_dim=32,
+                                n_mlp=2, channels=TINY)
+    # exercise the noise path
+    params["convs"][-2]["noise_w"] = jnp.asarray(0.3)
+    params["convs"][-1]["noise_w"] = jnp.asarray(0.2)
+    w = sg2.style_forward(
+        params, jax.random.normal(jax.random.PRNGKey(1), (2, 32))
+    )
+    latent = jnp.repeat(w[:, None, :], sg2.n_latent(64), axis=1)
+
+    monkeypatch.setattr(sg2, "FAST_TAIL_MIN_RES", 64)
+    fast_img = sg2.synthesize(params, latent)
+    monkeypatch.setattr(sg2, "FAST_TAIL", False)
+    ref_img = sg2.synthesize(params, latent)
+    np.testing.assert_allclose(
+        np.asarray(fast_img), np.asarray(ref_img), rtol=5e-4, atol=5e-4
+    )
