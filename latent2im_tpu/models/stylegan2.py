@@ -143,7 +143,11 @@ def modulated_conv2d(
     w = (p["w"] * scale).astype(x.dtype)
 
     if up:
-        # conv_transpose2d(stride=2, pad=0) == dilated conv with flipped taps
+        # conv_transpose2d(stride=2, pad=0) == dilated conv with flipped taps.
+        # (A fused convT+blur polyphase variant exists in stylegan2_fast and
+        # measured SLOWER here at mid resolutions — 75 vs 83 img/s — XLA's
+        # dilated-conv lowering + blur fusion wins outside the narrow-channel
+        # final block, which the fast tail covers.)
         out = lax.conv_general_dilated(
             xs,
             jnp.flip(w, (0, 1)),
