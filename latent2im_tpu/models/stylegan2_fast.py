@@ -169,34 +169,69 @@ def up_modconv_s2d(p, x, style):
     return out * jnp.tile(demod, (1, 4))[:, None, None, :].astype(out.dtype)
 
 
+def s2d_conv_kernel3(w):
+    """[3,3,Cin,Cout] -> [3,3,4Cin,4Cout] same-pad block kernel (no input
+    phase shifting needed — profiled relayouts of the pad-trick variant cost
+    more than the kernel's 4x nominal FLOPs, which run at full MXU width).
+
+    y[2m+py] = sum_dy K[dy+1] x[2m+py+dy]; u = py+dy spans blocks
+    m-1..m+1: dy = 2(db-1) + ry - py, zero where |dy| > 1.
+    """
+    cin, cout = w.shape[2], w.shape[3]
+    k3 = jnp.zeros((3, 3, 2, 2, cin, 2, 2, cout), w.dtype)
+    for dby in range(3):
+        for ry in range(2):
+            for py in range(2):
+                dy = 2 * (dby - 1) + ry - py
+                if not -1 <= dy <= 1:
+                    continue
+                for dbx in range(3):
+                    for rx in range(2):
+                        for px in range(2):
+                            dx = 2 * (dbx - 1) + rx - px
+                            if not -1 <= dx <= 1:
+                                continue
+                            k3 = k3.at[dby, dbx, ry, rx, :, py, px, :].set(
+                                w[dy + 1, dx + 1]
+                            )
+    return k3.reshape(3, 3, 4 * cin, 4 * cout)
+
+
 def modconv3x3_s2d(p, x2, style):
-    """3x3 modulated conv, s2d in -> s2d out."""
+    """3x3 modulated conv, s2d in -> s2d out (zero relayouts)."""
     s, demod, scale = _mod_demod(p, style, 3)
-    cin = p["w"].shape[2]
     xs = x2 * jnp.tile(s, (1, 4))[:, None, None, :].astype(x2.dtype)
-    xp2 = _phase_shift_pad(xs)  # [(H/2)+1, (W/2)+1] blocks
-    k2 = s2d_conv_kernel(p["w"] * scale)
+    k3 = s2d_conv_kernel3(p["w"] * scale)
     out = lax.conv_general_dilated(
-        xp2,
-        k2.astype(x2.dtype),
+        xs,
+        k3.astype(x2.dtype),
         (1, 1),
-        "VALID",
+        ((1, 1), (1, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
     return out * jnp.tile(demod, (1, 4))[:, None, None, :].astype(out.dtype)
 
 
 def to_rgb_s2d(p, x2, style):
-    """1x1 modulated conv (no demod) as block-diagonal 4C -> 12, + bias."""
+    """1x1 modulated conv (no demod) as a block-diagonal 4C -> 12 conv
+    (conv form rather than reshape-matmul: the reshape forced a layout
+    copy of the full-res activation)."""
     cin = p["conv"]["w"].shape[2]
     scale = 1.0 / math.sqrt(cin)
     s = sg2.equal_linear(p["conv"]["mod"], style)
     xs = x2 * jnp.tile(s, (1, 4))[:, None, None, :].astype(x2.dtype)
-    w = (p["conv"]["w"][0, 0] * scale).astype(x2.dtype)  # [Cin, 3]
-    b, h, wdim, c4 = xs.shape
-    y = xs.reshape(b, h, wdim, 4, cin) @ w  # [B,H,W,4,3]
-    y = y + p["b"].astype(y.dtype)
-    return y.reshape(b, h, wdim, 12)
+    w = p["conv"]["w"][0, 0] * scale  # [Cin, 3]
+    blocks = jnp.zeros((4 * cin, 12), w.dtype)
+    for q in range(4):
+        blocks = blocks.at[q * cin : (q + 1) * cin, q * 3 : (q + 1) * 3].set(w)
+    y = lax.conv_general_dilated(
+        xs,
+        blocks[None, None].astype(xs.dtype),
+        (1, 1),
+        "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return y + jnp.tile(p["b"], 4).astype(y.dtype)
 
 
 def upsample_skip_s2d(skip):
