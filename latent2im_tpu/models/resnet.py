@@ -78,6 +78,46 @@ def batch_norm(p, x, train: bool = False, eps: float = 1e-5, momentum: float = 0
     return out, new_stats
 
 
+STEM_S2D_MIN_RES = 512
+
+
+def _stem_conv_s2d(w, x):
+    """The 7x7/stride-2 stem conv via space-to-depth: input C=3 fills 2% of
+    the MXU's lanes at full res (profiled 8.7 ms at 1024px); on the 2x2
+    block grid it becomes a 4x4 conv over 12 channels at half resolution.
+
+    out[m] = sum_d K[d] x[2m+d-3]: block j = m + db - 2, db in [0,4),
+    tap d = 2*db + r - 1 (r = pixel parity), pad (2,1) on the block grid.
+    """
+    b, h, wd, c = x.shape
+    x2 = (
+        x.reshape(b, h // 2, 2, wd // 2, 2, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, h // 2, wd // 2, 4 * c)
+    )
+    cin, cout = w.shape[2], w.shape[3]
+    k4 = jnp.zeros((4, 4, 2, 2, cin, cout), w.dtype)
+    for dby in range(4):
+        for ry in range(2):
+            dy = 2 * dby + ry - 1
+            if not 0 <= dy <= 6:
+                continue
+            for dbx in range(4):
+                for rx in range(2):
+                    dx = 2 * dbx + rx - 1
+                    if not 0 <= dx <= 6:
+                        continue
+                    k4 = k4.at[dby, dbx, ry, rx].set(w[dy, dx])
+    k4 = k4.reshape(4, 4, 4 * cin, cout)
+    return lax.conv_general_dilated(
+        x2,
+        k4.astype(x2.dtype),
+        (1, 1),
+        ((2, 1), (2, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
 def max_pool(x, window=3, stride=2, padding=1):
     return lax.reduce_window(
         x,
@@ -167,7 +207,10 @@ def init_resnet50(key, num_outputs: int = 40) -> Params:
 def resnet50_forward(params: Params, x, train: bool = False, dtype=jnp.float32):
     """x: [B,H,W,3] -> [B, num_outputs]. Returns (logits, bn_stats|None)."""
     x = x.astype(dtype)
-    out = conv2d(params["stem"]["w"], x, stride=2, padding=3)
+    if x.shape[1] >= STEM_S2D_MIN_RES and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        out = _stem_conv_s2d(params["stem"]["w"], x)
+    else:
+        out = conv2d(params["stem"]["w"], x, stride=2, padding=3)
     out, stem_stats = batch_norm(params["stem"], out, train)
     out = jax.nn.relu(out)
     out = max_pool(out)

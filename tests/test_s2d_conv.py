@@ -53,3 +53,15 @@ def test_modulated_conv_uses_s2d_consistently(monkeypatch):
     want = _direct_conv3x3(xs, p["w"] * scale) * demod[:, None, None, :]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3,
                                atol=2e-3)
+
+
+def test_resnet_stem_s2d_matches_direct():
+    from latent2im_tpu.models import resnet as rn
+
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.randn(7, 7, 3, 8).astype(np.float32)) * 0.1
+    x = jnp.asarray(rng.randn(2, 16, 20, 3).astype(np.float32))
+    want = rn.conv2d(w, x, stride=2, padding=3)
+    got = rn._stem_conv_s2d(w, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
+                               atol=1e-4)
