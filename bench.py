@@ -26,7 +26,7 @@ import jax.numpy as jnp
 # See BASELINE.md "Measured baselines" for the derivation.
 A100_EDIT_IMG_S = 12.0
 
-BATCH = 8
+BATCH = 16
 SIZE = 1024
 ITERS = 20
 WARMUP = 3
