@@ -86,9 +86,34 @@ class ChairTransform(Task):
 
 
 class DspritesTransform(Task):
-    """Composes scale/x/y/posx/posy sliders (transforms.py:785-861)."""
+    """Composes per-factor sliders (transforms.py:785-861): 'scale' draws
+    from a discrete ladder {0.5..1.0}, 'x' contributes TWO U(-1,1) sliders,
+    'posx'/'posy' draw U(0,1)."""
 
     lo, hi = -1.0, 1.0
+    SCALE_LADDER = (0.5, 0.6, 0.7, 0.8, 0.9, 1.0)
+
+    def train_alpha_np(self, rng, batch, n_attr=None, attr_list=None):
+        attr_list = attr_list or ["scale", "x", "y", "posx", "posy"]
+        alpha_vals, sliders = [], []
+        if "scale" in attr_list:
+            a = self.SCALE_LADDER[rng.choice(len(self.SCALE_LADDER))]
+            alpha_vals.append(a)
+            sliders.append(np.ones((batch, 1)) * a)
+        if "x" in attr_list:
+            for _ in range(2):
+                a = rng.uniform(-1, 1)
+                alpha_vals.append(a)
+                sliders.append(np.ones((batch, 1)) * a)
+        for name in ("posx", "posy"):
+            if name in attr_list:
+                a = rng.uniform(0, 1)
+                alpha_vals.append(a)
+                sliders.append(np.ones((batch, 1)) * a)
+        return (
+            np.hstack(sliders).astype(np.float32),
+            np.hstack([np.atleast_1d(v) for v in alpha_vals]).astype(np.float32),
+        )
 
 
 TASKS = {

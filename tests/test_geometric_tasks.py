@@ -107,3 +107,16 @@ def test_lerp_slerp_shapes():
     b = np.random.RandomState(1).randn(3, 8)
     assert lerp(a, b, 5).shape == (5, 3, 8)
     assert slerp(a, b, 5).shape == (5, 3, 8)
+
+
+def test_dsprites_composite_sliders():
+    from latent2im_tpu.tasks.transforms import DspritesTransform
+
+    t = DspritesTransform()
+    rng = np.random.RandomState(0)
+    slider, vals = t.train_alpha_np(rng, 3, attr_list=["scale", "x", "posx", "posy"])
+    # scale(1) + x(2) + posx(1) + posy(1) = 5 sliders
+    assert slider.shape == (3, 5)
+    assert vals.shape == (5,)
+    assert any(abs(float(vals[0]) - s) < 1e-6 for s in t.SCALE_LADDER)
+    assert 0 <= vals[3] <= 1 and 0 <= vals[4] <= 1
