@@ -245,7 +245,8 @@ def upsample_skip_s2d(skip):
     """
     k1 = np.asarray([1.0, 3.0, 3.0, 1.0])
     k1 = k1 / k1.sum() * 2.0
-    kf = k1[::-1]
+    # python-float taps: numpy f64 scalars would promote bf16 skips to f32
+    kf = [float(v) for v in k1[::-1]]
 
     def axis_up(a, axis):
         def sh(arr, off):
