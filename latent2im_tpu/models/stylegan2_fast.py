@@ -42,15 +42,6 @@ BLUR = np.asarray(sg2.ufd.make_kernel(list(sg2.BLUR_KERNEL)), np.float64)
 # ---------------------------------------------------------------------------
 
 
-def _compose_up_blur_1d() -> np.ndarray:
-    """The 1-D composed transposed-conv x blur tap table is separable; this
-    returns the blur's 1-D factor (k=[1,3,3,1]/8 * 2 for the x4 upsample
-    gain split over two axes)."""
-    k1 = np.asarray([1.0, 3.0, 3.0, 1.0])
-    k1 = k1 / k1.sum() * 2.0  # sqrt of the factor**2 = 4 gain
-    return k1
-
-
 def compose_up_phase_kernel(w):
     """w [3,3,Cin,Cout] (transposed-conv weights, HWIO) -> phase kernel
     [3,3,Cin,4Cout] producing the s2d form of blur(convT(x, w)).
@@ -61,9 +52,8 @@ def compose_up_phase_kernel(w):
     G[s] = sum_i kf[i] w[s+i-1], s in [-2, 3]. Phase q = p mod 2:
     y[2m+q] = sum_{d in -1..1} G[2d+q] x[m-d].
     """
-    kf = BLUR[::-1, ::-1] * 1.0  # flip; 2-D blur already includes x4 gain? no:
-    # blur2d in the up path multiplies the kernel by factor**2 = 4.
-    kf = kf * 4.0
+    # flipped taps; the up path's blur scales its kernel by factor**2 = 4
+    kf = BLUR[::-1, ::-1] * 4.0
     cin, cout = w.shape[2], w.shape[3]
 
     # G2[sy, sx] = sum_{iy, ix} kf[iy, ix] * w[sy+iy-1, sx+ix-1]
@@ -100,43 +90,6 @@ def compose_up_phase_kernel(w):
             cols.append(jnp.concatenate(phases, axis=-1))  # [Cin, 4Cout]
         rows.append(jnp.stack(cols, axis=0))
     return jnp.stack(rows, axis=0)  # [3, 3, Cin, 4Cout]
-
-
-def _phase_shift_pad(x2):
-    """s2d of pad(x, (1,1) both sides) from s2d of x.
-
-    The padded image's block m' covers original rows (2m'-1, 2m') for
-    m' in [0, H/2]: phase ry'=1 reads original phase 0 at block m' (zero at
-    m'=H/2), phase ry'=0 reads original phase 1 at block m'-1 (zero at
-    m'=0). Output grid is (H/2+1, W/2+1) blocks. (Same along W.)
-    """
-    b, h, w, c4 = x2.shape
-    c = c4 // 4
-    ph = x2.reshape(b, h, w, 2, 2, c)
-
-    def extend(a, axis, side):
-        """pad one zero block at `side` ('lo'|'hi') along axis -> length+1."""
-        pad = [(0, 0)] * a.ndim
-        pad[axis] = (1, 0) if side == "lo" else (0, 1)
-        return jnp.pad(a, pad)
-
-    out = []
-    for ry in range(2):
-        row = []
-        for rx in range(2):
-            src = ph[:, :, :, 1 - ry, 1 - rx, :]
-            src = extend(src, 1, "lo" if ry == 0 else "hi")
-            src = extend(src, 2, "lo" if rx == 0 else "hi")
-            row.append(src)
-        out.append(row)
-    stacked = jnp.stack([jnp.stack(r, axis=3) for r in out], axis=3)
-    return stacked.reshape(b, h + 1, w + 1, 4 * c)
-
-
-def s2d_conv_kernel(w):
-    """[3,3,Cin,Cout] -> [2,2,4Cin,4Cout] (same math as stylegan2._s2d_kernel
-    but built here to keep this module self-contained)."""
-    return sg2._s2d_kernel(w)
 
 
 # ---------------------------------------------------------------------------
