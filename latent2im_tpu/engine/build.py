@@ -69,6 +69,7 @@ def build_editor_from_options(opt, seed: int = 0):
         # output bilinear-downsampled x0.5 and D fed a x2 re-upsample
         # (pggan transform_base.py:311-321, :480).
         step = int(__import__("math").log2(size)) - 2
+        zoo_g = None
         if g_path:
             ckpt = _load_torch(g_path)
             gsd = ckpt.get("g_running", ckpt.get("netG", ckpt)) if isinstance(
@@ -76,7 +77,15 @@ def build_editor_from_options(opt, seed: int = 0):
             ) else ckpt
             if hasattr(gsd, "state_dict"):
                 gsd = gsd.state_dict()
-            g_params = tc.convert_pggan_generator(gsd)
+            if any("formatLayer" in k for k in gsd):
+                # torch.hub GAN-zoo PGAN layout (the reference's default,
+                # pggan transform_base.py:554-566)
+                from ..models import pgan_zoo
+
+                zoo_g = tc.convert_ganzoo_pgan(gsd)
+                g_params = zoo_g
+            else:
+                g_params = tc.convert_pggan_generator(gsd)
             d_params = None
             if isinstance(ckpt, dict) and "netD" in ckpt:
                 dsd = ckpt["netD"]
@@ -94,12 +103,22 @@ def build_editor_from_options(opt, seed: int = 0):
             d_params = pgg.init_discriminator(kd)
         cdt = jnp.bfloat16 if getattr(opt, "bf16", False) else jnp.float32
 
-        def synth_fn(z, _g=g_params, _step=step):
-            img = pgg.generator_forward(_g, z, step=_step, dtype=cdt)
-            return jax.image.resize(
-                img, (img.shape[0], img.shape[1] // 2, img.shape[2] // 2, 3),
-                "linear",
-            )
+        if zoo_g is not None:
+            from ..models import pgan_zoo
+
+            def synth_fn(z, _g=g_params):
+                img = pgan_zoo.generator_forward(_g, z, dtype=cdt)
+                return jax.image.resize(
+                    img, (img.shape[0], img.shape[1] // 2, img.shape[2] // 2, 3),
+                    "linear",
+                )
+        else:
+            def synth_fn(z, _g=g_params, _step=step):
+                img = pgg.generator_forward(_g, z, step=_step, dtype=cdt)
+                return jax.image.resize(
+                    img, (img.shape[0], img.shape[1] // 2, img.shape[2] // 2, 3),
+                    "linear",
+                )
 
         def disc_fn(img, _d=d_params, _step=step):
             up = jax.image.resize(

@@ -199,6 +199,49 @@ def convert_pggan_generator(sd: dict) -> dict:
     return params
 
 
+def convert_ganzoo_pgan(sd: dict) -> dict:
+    """pytorch_GAN_zoo GNet state_dict -> models.pgan_zoo pytree.
+
+    Accepts the hub checkpoint's netG sub-dict (keys 'formatLayer.module.*',
+    'groupScale0.N.module.*', 'scaleLayers.S.N.module.*',
+    'toRGBLayers.S.module.*'); the depth ladder is inferred from shapes.
+    """
+    sd = strip_module_prefix(sd)
+
+    def lin(prefix):
+        return {"w": _lin_w(sd[f"{prefix}.module.weight"]),
+                "b": _np(sd[f"{prefix}.module.bias"])}
+
+    def conv(prefix):
+        return {"w": _conv_w(sd[f"{prefix}.module.weight"]),
+                "b": _np(sd[f"{prefix}.module.bias"])}
+
+    params: dict[str, Any] = {
+        "format": lin("formatLayer"),
+        "group_scale0": [],
+        "scales": [],
+        "to_rgbs": [],
+    }
+    i = 0
+    while f"groupScale0.{i}.module.weight" in sd:
+        params["group_scale0"].append(conv(f"groupScale0.{i}"))
+        i += 1
+    s = 0
+    while f"scaleLayers.{s}.0.module.weight" in sd:
+        group = []
+        j = 0
+        while f"scaleLayers.{s}.{j}.module.weight" in sd:
+            group.append(conv(f"scaleLayers.{s}.{j}"))
+            j += 1
+        params["scales"].append(group)
+        s += 1
+    t = 0
+    while f"toRGBLayers.{t}.module.weight" in sd:
+        params["to_rgbs"].append(conv(f"toRGBLayers.{t}"))
+        t += 1
+    return params
+
+
 def convert_pggan_discriminator(sd: dict) -> dict:
     sd = strip_module_prefix(sd)
     from ..models.pggan import D_LADDER

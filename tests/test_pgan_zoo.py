@@ -1,0 +1,114 @@
+"""GAN-zoo PGAN generator + converter parity vs an inline torch oracle."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from latent2im_tpu.models import pgan_zoo
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+
+
+class EqLinear(nn.Module):
+    def __init__(self, din, dout):
+        super().__init__()
+        self.module = nn.Linear(din, dout)
+        self.module.weight.data.normal_()
+        self.module.bias.data.zero_()
+        import math
+
+        self.scale = math.sqrt(2.0 / din)
+
+    def forward(self, x):
+        return torch.nn.functional.linear(
+            x, self.module.weight * self.scale, self.module.bias
+        )
+
+
+class EqConv(nn.Module):
+    def __init__(self, cin, cout, k, padding):
+        super().__init__()
+        self.module = nn.Conv2d(cin, cout, k, padding=padding)
+        self.module.weight.data.normal_()
+        self.module.bias.data.zero_()
+        import math
+
+        self.scale = math.sqrt(2.0 / (cin * k * k))
+        self.padding = padding
+
+    def forward(self, x):
+        return torch.nn.functional.conv2d(
+            x, self.module.weight * self.scale, self.module.bias,
+            padding=self.padding,
+        )
+
+
+class TorchGNet(nn.Module):
+    """GNet-compatible oracle (depths (16, 8, 8) => 16x16 output)."""
+
+    def __init__(self, dim_latent=32, depths=(16, 8, 8)):
+        super().__init__()
+        self.formatLayer = EqLinear(dim_latent, depths[0] * 16)
+        self.groupScale0 = nn.ModuleList([EqConv(depths[0], depths[0], 3, 1)])
+        self.scaleLayers = nn.ModuleList()
+        self.toRGBLayers = nn.ModuleList([EqConv(depths[0], 3, 1, 0)])
+        prev = depths[0]
+        for d in depths[1:]:
+            self.scaleLayers.append(
+                nn.ModuleList([EqConv(prev, d, 3, 1), EqConv(d, d, 3, 1)])
+            )
+            self.toRGBLayers.append(EqConv(d, 3, 1, 0))
+            prev = d
+
+    @staticmethod
+    def norm(x):
+        return x * (((x**2).mean(dim=1, keepdim=True) + 1e-8).rsqrt())
+
+    def forward(self, z, alpha=0.0):
+        x = self.norm(z)
+        x = torch.nn.functional.leaky_relu(self.formatLayer(x), 0.2)
+        x = x.view(x.size(0), -1, 4, 4)
+        x = self.norm(x)
+        for conv in self.groupScale0:
+            x = self.norm(torch.nn.functional.leaky_relu(conv(x), 0.2))
+        prev_rgb = None
+        n = len(self.scaleLayers)
+        up = nn.Upsample(scale_factor=2, mode="nearest")
+        for si, group in enumerate(self.scaleLayers):
+            if si == n - 1 and 0 < alpha < 1:
+                prev_rgb = up(self.toRGBLayers[si](x))
+            x = up(x)
+            for conv in group:
+                x = self.norm(torch.nn.functional.leaky_relu(conv(x), 0.2))
+        out = self.toRGBLayers[-1](x)
+        if prev_rgb is not None:
+            out = alpha * prev_rgb + (1 - alpha) * out
+        return out
+
+
+@pytest.mark.parametrize("alpha", [0.0, 0.35])
+def test_pgan_zoo_matches_oracle(alpha):
+    tm = TorchGNet().eval()
+    from latent2im_tpu.io import torch_convert as tc
+
+    params = tc.convert_ganzoo_pgan(tm.state_dict())
+    assert pgan_zoo.resolution(params) == 16
+    z = np.random.RandomState(0).randn(2, 32).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(z), alpha=alpha).numpy()
+    got = pgan_zoo.generator_forward(params, jnp.asarray(z), alpha=alpha)
+    np.testing.assert_allclose(
+        np.transpose(np.asarray(got), (0, 3, 1, 2)), want, rtol=2e-3, atol=2e-3
+    )
+
+
+def test_pgan_zoo_init_shapes():
+    params = pgan_zoo.init_generator(jax.random.PRNGKey(0), dim_latent=32,
+                                     depths=(16, 8))
+    img = pgan_zoo.generator_forward(
+        params, jax.random.normal(jax.random.PRNGKey(1), (2, 32))
+    )
+    assert img.shape == (2, 8, 8, 3)
