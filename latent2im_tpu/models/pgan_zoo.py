@@ -92,6 +92,95 @@ def resolution(params: Params) -> int:
     return 4 * 2 ** len(params["scales"])
 
 
+def init_discriminator(key, dim_latent: int = 512,
+                       depths=(512, 512, 512, 512, 256, 128, 64, 32),
+                       decision_dim: int = 1,
+                       minibatch_stddev: bool = True) -> Params:
+    """Zoo DNet mirror: per-scale fromRGB + two equalized 3x3 convs +
+    avg-pool down; 4x4 group (optional minibatch-std channel, 3x3 conv,
+    flatten, equalized linear) + decision layer."""
+    ks = iter(jax.random.split(key, 4 * len(depths) + 6))
+    d0 = depths[0]
+    params: Params = {"from_rgb": [], "scales": [], "mbstd": minibatch_stddev}
+    for d in depths:
+        params["from_rgb"].append(
+            {"w": jax.random.normal(next(ks), (1, 1, 3, d), jnp.float32),
+             "b": jnp.zeros((d,), jnp.float32)}
+        )
+    prev = d0
+    for d in depths[1:]:
+        # stored shallwest-first to mirror the generator's ladder
+        params["scales"].append(
+            [
+                {"w": jax.random.normal(next(ks), (3, 3, d, d), jnp.float32),
+                 "b": jnp.zeros((d,), jnp.float32)},
+                {"w": jax.random.normal(next(ks), (3, 3, d, prev), jnp.float32),
+                 "b": jnp.zeros((prev,), jnp.float32)},
+            ]
+        )
+        prev = d
+    extra = 1 if minibatch_stddev else 0
+    params["group0_conv"] = {
+        "w": jax.random.normal(next(ks), (3, 3, d0 + extra, d0), jnp.float32),
+        "b": jnp.zeros((d0,), jnp.float32),
+    }
+    params["group0_lin"] = {
+        "w": jax.random.normal(next(ks), (d0 * 16, d0), jnp.float32),
+        "b": jnp.zeros((d0,), jnp.float32),
+    }
+    params["decision"] = {
+        "w": jax.random.normal(next(ks), (d0, decision_dim), jnp.float32),
+        "b": jnp.zeros((decision_dim,), jnp.float32),
+    }
+    return params
+
+
+def _eq_linear(p, x):
+    scale = math.sqrt(2.0 / p["w"].shape[0])
+    return x @ (p["w"] * scale).astype(x.dtype) + p["b"].astype(x.dtype)
+
+
+def _avg_pool2(x):
+    return lax.reduce_window(
+        x, 0.0, lax.add, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+    ) / 4.0
+
+
+def _minibatch_stddev_zoo(x, sub_group_size: int = 4):
+    """Zoo miniBatchStdDev: per-group stddev averaged over all dims, one
+    constant channel."""
+    b = x.shape[0]
+    g = b if b % sub_group_size != 0 else sub_group_size
+    y = x.reshape(g, b // g, *x.shape[1:])
+    var = jnp.var(y, axis=0)
+    std = jnp.sqrt(var + 1e-8)
+    stat = jnp.mean(std, axis=(1, 2, 3))  # [B/g]
+    stat = jnp.repeat(stat, g, axis=0).reshape(b, 1, 1, 1)
+    return jnp.concatenate(
+        [x, jnp.broadcast_to(stat, (b, x.shape[1], x.shape[2], 1)).astype(x.dtype)],
+        axis=-1,
+    )
+
+
+def discriminator_forward(params: Params, img, dtype=jnp.float32):
+    """img at the full resolution of the ladder -> [B, decision_dim]."""
+    x = img.astype(dtype)
+    n = len(params["scales"])
+    x = jax.nn.leaky_relu(_conv(params["from_rgb"][-1], x, padding=0), 0.2)
+    for si in range(n - 1, -1, -1):
+        group = params["scales"][si]
+        x = jax.nn.leaky_relu(_conv(group[0], x), 0.2)
+        x = jax.nn.leaky_relu(_conv(group[1], x), 0.2)
+        x = _avg_pool2(x)
+    if params.get("mbstd", True):
+        x = _minibatch_stddev_zoo(x)
+    x = jax.nn.leaky_relu(_conv(params["group0_conv"], x), 0.2)
+    # torch flattens channel-major
+    x = x.transpose(0, 3, 1, 2).reshape(x.shape[0], -1)
+    x = jax.nn.leaky_relu(_eq_linear(params["group0_lin"], x), 0.2)
+    return _eq_linear(params["decision"], x).astype(jnp.float32)
+
+
 def generator_forward(params: Params, z, alpha: float = 0.0, dtype=jnp.float32):
     """z [B, dim_latent] -> [B, R, R, 3]. alpha in (0,1) blends the previous
     scale's rgb during fade-in (GNet's alpha semantics: 0 = fully grown)."""

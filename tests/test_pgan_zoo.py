@@ -112,3 +112,19 @@ def test_pgan_zoo_init_shapes():
         params, jax.random.normal(jax.random.PRNGKey(1), (2, 32))
     )
     assert img.shape == (2, 8, 8, 3)
+
+
+def test_pgan_zoo_discriminator():
+    params = pgan_zoo.init_discriminator(
+        jax.random.PRNGKey(0), depths=(16, 8, 8)
+    )
+    img = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 3)) * 0.1
+    out = pgan_zoo.discriminator_forward(params, img)
+    assert out.shape == (4, 1)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+    def loss(im):
+        return jnp.sum(pgan_zoo.discriminator_forward(params, im))
+
+    g = jax.grad(loss)(img)
+    assert float(jnp.sum(jnp.abs(g))) > 0
