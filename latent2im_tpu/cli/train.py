@@ -19,7 +19,6 @@ from __future__ import annotations
 import logging
 import math
 import os
-import time
 
 import numpy as np
 
@@ -29,7 +28,6 @@ from ..engine.train import train_loop
 from ..io import checkpoint as ckpt
 from ..parallel import mesh as meshlib
 from ..tasks.transforms import get_task
-from ..utils import html as htmlmod
 from ..utils import image as imgmod
 from ..utils import logging as logmod
 

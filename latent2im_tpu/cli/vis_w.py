@@ -13,7 +13,6 @@ gallery. The panel loop runs as ONE device program per batch
 
 from __future__ import annotations
 
-import argparse
 import os
 
 import numpy as np

@@ -14,9 +14,6 @@ shim exists so a reference user can switch with minimal edits.
 
 from __future__ import annotations
 
-import argparse
-from typing import Any
-
 import numpy as np
 
 import jax

@@ -26,8 +26,7 @@ downsampled x0.5 (pggan :311-321) and D scores a x2 re-upsampled image
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Callable, Sequence
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

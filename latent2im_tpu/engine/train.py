@@ -14,7 +14,6 @@ tasks.Task.train_alpha_np).
 
 from __future__ import annotations
 
-import functools
 import time
 from typing import Any, Callable
 
