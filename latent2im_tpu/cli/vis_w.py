@@ -47,6 +47,28 @@ def run(opt, conf):
     zs = sample_epoch_z(opt.num_samples, editor.cfg.dim_z, seed=opt.noise_seed)
     alphas = np.linspace(opt.min_alpha, opt.max_alpha, opt.num_panels)
 
+    combine = getattr(opt, "combine_indices", "")
+    if combine:
+        # 2-attribute grid (transform_base.py:814-869): all (a_i, a_j) pairs
+        idx = [int(i) for i in combine.split(",")]
+        assert len(idx) == 2, "--combine_indices wants two attribute indices"
+        for batch_start in range(0, opt.num_samples, BATCH):
+            z = zs[batch_start : batch_start + BATCH]
+            imgs, alpha_org, _ = editor.sweep_combine(
+                walk_params, z, alphas, indices=idx
+            )
+            grid = imgmod.to_uint8(imgs)  # [P, P, B, H, W, 3]
+            p = len(alphas)
+            for ii in range(z.shape[0]):
+                panel = grid[:, :, ii].reshape(p * p, *grid.shape[3:])
+                name = f"combine_idx{idx[0]}_idx{idx[1]}_sample{batch_start + ii}"
+                imgmod.save_im(
+                    imgmod.imgrid(panel, cols=p), os.path.join(output_dir, name)
+                )
+                print("Save in", os.path.join(output_dir, name))
+        htmlmod.make_html(output_dir)
+        return output_dir
+
     for batch_start in range(0, opt.num_samples, BATCH):
         z = zs[batch_start : batch_start + BATCH]
         # panel alpha matrix [P, B] (scale_test_alpha_for_graph semantics)

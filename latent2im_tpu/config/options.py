@@ -226,6 +226,9 @@ class VisOptions:
         p.add_argument("--num_panels", type=int, default=7)
         p.add_argument("--max_alpha", type=float, default=1.0)
         p.add_argument("--min_alpha", type=float, default=0.0)
+        p.add_argument("--combine_indices", type=str, default="",
+                       help="two regressor-table indices 'i,j' for a "
+                            "2-attribute combined grid")
 
     def parse(self, args=None):
         opt = self.parser.parse_args(args)

@@ -56,3 +56,23 @@ def save_im(a: np.ndarray, filename: str, format: str = "png") -> None:
 def to_uint8(ims) -> np.ndarray:
     """[-1,1] float images -> uint8 (the reference's clip_ims)."""
     return np.uint8(np.clip(((np.asarray(ims) + 1) / 2.0) * 255, 0, 255))
+
+
+def load_and_resize_image(path: str, size: int = 256) -> np.ndarray:
+    """Load an image file, center-square-crop, resize -> uint8 [size,size,3]
+    (the reference's load_and_resize_imagenet_image, utils/image.py:68-85,
+    with deterministic center cropping). Native decode when built."""
+    try:
+        from latent2im_tpu.native import _l2i_native  # type: ignore
+
+        return _l2i_native.load_resize(path, size)
+    except ImportError:
+        pass
+    import PIL.Image
+
+    im = PIL.Image.open(path).convert("RGB")
+    w, h = im.size
+    dim = min(w, h)
+    im = im.crop(((w - dim) // 2, (h - dim) // 2,
+                  (w - dim) // 2 + dim, (h - dim) // 2 + dim))
+    return np.asarray(im.resize((size, size), PIL.Image.BILINEAR), np.uint8)
