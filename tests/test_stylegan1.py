@@ -29,9 +29,10 @@ def test_fused_upsample_matches_torch():
     p = {"w": jnp.asarray(np.transpose(w, (2, 3, 0, 1))),  # -> [k,k,in,out]
          "b": jnp.zeros((cout,))}
     got = sg1.fused_upsample(p, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
-    np.testing.assert_allclose(
-        np.transpose(np.asarray(got), (0, 3, 1, 2)), want, rtol=1e-4, atol=1e-4
-    )
+    from helpers import assert_close
+
+    assert_close(np.transpose(np.asarray(got), (0, 3, 1, 2)), want,
+                 rtol=1e-4, atol=1e-4)
 
 
 def test_fused_downsample_matches_torch():
@@ -54,9 +55,10 @@ def test_fused_downsample_matches_torch():
     p = {"w": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),  # -> [k,k,in,out]
          "b": jnp.zeros((cout,))}
     got = sg1.fused_downsample(p, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
-    np.testing.assert_allclose(
-        np.transpose(np.asarray(got), (0, 3, 1, 2)), want, rtol=1e-4, atol=1e-4
-    )
+    from helpers import assert_close
+
+    assert_close(np.transpose(np.asarray(got), (0, 3, 1, 2)), want,
+                 rtol=1e-4, atol=1e-4)
 
 
 def test_generator_ladder_and_fade():

@@ -62,7 +62,9 @@ def test_modulated_conv_matches_naive(demodulate):
     style = jax.random.normal(jax.random.PRNGKey(2), (3, 32))
     got = sg2.modulated_conv2d(p, x, style, demodulate=demodulate)
     want = _naive_modulated(p, x, style, demodulate)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+    from helpers import assert_close
+
+    assert_close(got, want, rtol=2e-4, atol=2e-4)
 
 
 def test_modulated_conv_up_matches_naive():
@@ -76,7 +78,9 @@ def test_modulated_conv_up_matches_naive():
     blur = ufd.make_kernel(list(sg2.BLUR_KERNEL))
     want = ufd.blur2d(raw, blur, pad=(1, 1), upsample_factor=2)
     assert got.shape == (2, 12, 12, 8)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4)
+    from helpers import assert_close
+
+    assert_close(got, want, rtol=2e-4, atol=2e-4)
 
 
 def test_generator_shapes_and_finite():

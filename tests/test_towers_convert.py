@@ -156,13 +156,11 @@ def test_vgg16_gram_taps_match_torch_slices():
             for name, idx in slices.items():
                 if i + 1 == idx:
                     outs[name] = h.numpy()
+    from helpers import assert_close
+
     for name in slices:
-        np.testing.assert_allclose(
-            np.transpose(np.asarray(got[name]), (0, 3, 1, 2)),
-            outs[name],
-            rtol=2e-3,
-            atol=2e-3,
-        )
+        assert_close(np.transpose(np.asarray(got[name]), (0, 3, 1, 2)),
+                     outs[name], rtol=2e-3, atol=2e-3)
 
 
 def test_resnet_train_mode_bn_updates():

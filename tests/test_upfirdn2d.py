@@ -35,7 +35,9 @@ def test_xla_matches_oracle(up, down, pad, taps, h, w):
     want = upfirdn2d_ref(x, k, up=up, down=down, pad=pad)
     got = upfirdn2d(jnp.asarray(x), jnp.asarray(k), up=up, down=down, pad=pad)
     assert got.shape == want.shape
-    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+    from helpers import assert_close
+
+    assert_close(got, want)
 
 
 def test_output_size_formula():
