@@ -124,6 +124,39 @@ def make_train_step(
     return step
 
 
+def make_geometric_train_step(
+    editor: Editor,
+    optimizer: optax.GradientTransformation,
+) -> Callable:
+    """Training step for the steerability-lineage geometric/color transforms:
+    masked pixel-L2 between the edited image and a host-computed warped
+    target (the reference's legacy engine objective, get_edit_loss at
+    transform_base.py:388-394; targets from tasks.geometric.get_target_np).
+
+    step(walk_params, opt_state, z, alpha_graph, target, mask) ->
+    (walk_params, opt_state, metrics). The host driver synthesizes the
+    original, warps it with the task's get_target_np, and feeds both here.
+    """
+    cfg = editor.cfg
+
+    def loss_fn(walk_params, z, alpha_graph, target, mask):
+        latent = editor.get_w(z) if cfg.latent == "w" else z
+        latent_new = editor.edit(walk_params, latent, alpha_graph)
+        img_new = editor.synthesize(latent_new)
+        loss = L.masked_l2(img_new, target, mask)
+        return loss, {"loss": loss}
+
+    def step(walk_params, opt_state, z, alpha_graph, target, mask):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            walk_params, z, alpha_graph, target, mask
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, walk_params)
+        walk_params = optax.apply_updates(walk_params, updates)
+        return walk_params, opt_state, metrics
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
 def sample_epoch_z(num_samples: int, dim_z: int, seed: int) -> np.ndarray:
     """Host z sampling, bit-matching the reference
     (graph_util.py:5-8, re-seeded per epoch at train.py:45)."""
