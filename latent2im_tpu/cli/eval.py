@@ -67,7 +67,8 @@ def run(opt, conf):
 
     from ..tasks.transforms import get_task
 
-    task = get_task(conf.transform, walk_type=conf.walk_type)
+    task = get_task(conf.transform, walk_type=conf.walk_type,
+                    nsliders=len(info["attr_list"]))
     panel_alphas = task.test_alphas()
 
     zs = sample_epoch_z(opt.num_samples, editor.cfg.dim_z, seed=opt.noise_seed)
@@ -76,9 +77,9 @@ def run(opt, conf):
         acc = ev.EvalAccumulator()
         for bs in range(0, opt.num_samples, BATCH):
             z = zs[bs : bs + BATCH]
-            panels = np.repeat(
-                np.asarray(panel_alphas, np.float32)[:, None], z.shape[0], axis=1
-            )
+            panels = np.stack(
+                [task.scale_test_alpha(a, z.shape[0]) for a in panel_alphas]
+            ).astype(np.float32)
             imgs, alpha_org, orig = editor.sweep(walk_params, z, panels)
             orig_u8 = imgmod.to_uint8(orig)
             org_all = np.asarray(editor.regress_all(orig))

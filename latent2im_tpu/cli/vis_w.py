@@ -44,6 +44,10 @@ def run(opt, conf):
         walk_params, _, meta = ckpt.load_walk(opt.save_path_w, walk_params)
         print(f"Load w in {opt.save_path_w} ({(meta or {}).get('source', 'native')})")
 
+    from ..tasks.transforms import get_task
+
+    task = get_task(conf.transform, walk_type=conf.walk_type,
+                    nsliders=len(info["attr_list"]))
     zs = sample_epoch_z(opt.num_samples, editor.cfg.dim_z, seed=opt.noise_seed)
     alphas = np.linspace(opt.min_alpha, opt.max_alpha, opt.num_panels)
 
@@ -71,8 +75,10 @@ def run(opt, conf):
 
     for batch_start in range(0, opt.num_samples, BATCH):
         z = zs[batch_start : batch_start + BATCH]
-        # panel alpha matrix [P, B] (scale_test_alpha_for_graph semantics)
-        panels = np.repeat(alphas[:, None], z.shape[0], axis=1).astype(np.float32)
+        # panel slider matrix [P, B, A] (scale_test_alpha_for_graph semantics)
+        panels = np.stack(
+            [task.scale_test_alpha(a, z.shape[0]) for a in alphas]
+        ).astype(np.float32)
         imgs, alpha_org, orig = editor.sweep(walk_params, z, panels)
         imgs = imgmod.to_uint8(imgs)  # [P, B, H, W, 3]
         alpha_org = np.asarray(alpha_org)

@@ -211,9 +211,10 @@ class Editor:
                 idx_pos = int(index)
 
         def run(wp, z, ag, gw):
-            latent = self.get_w(z) if gw is None else gw
             if self.cfg.latent == "z":
                 latent = z if gw is None else gw
+            else:
+                latent = self.get_w(z) if gw is None else gw
             orig = self.synthesize(latent)
             alpha_org = self.regress(orig)
             if self.cfg.latent == "z":
@@ -240,9 +241,10 @@ class Editor:
         transform_base.py:620-627."""
 
         def run(wp, z, alphas, gw):
-            latent = self.get_w(z) if gw is None else gw
             if self.cfg.latent == "z":
                 latent = z if gw is None else gw
+            else:
+                latent = self.get_w(z) if gw is None else gw
             orig = self.synthesize(latent)
             alpha_org = self.regress(orig)
 
