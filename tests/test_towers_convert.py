@@ -254,3 +254,29 @@ def test_walk_checkpoint_roundtrip(tmp_path):
     converted = tc.convert_walk_state(name, state, ["Smiling", "Young"])
     assert converted["w"].shape == (2, 14, 512)
     np.testing.assert_allclose(converted["w"], m.w.detach().numpy())
+
+
+def test_d_flatten_permutation():
+    """The discriminator converter permutes final_lin1's input rows from the
+    torch NCHW flatten order (c,h,w) to our NHWC (h,w,c); verify with a torch
+    linear oracle on the same tensor."""
+    rng = np.random.RandomState(0)
+    c = 6
+    x = rng.randn(2, c, 4, 4).astype(np.float32)  # NCHW activation
+    w = rng.randn(10, c * 16).astype(np.float32)  # torch [out, in]
+    b = rng.randn(10).astype(np.float32)
+    with torch.no_grad():
+        want = (
+            torch.from_numpy(x).reshape(2, -1) @ torch.from_numpy(w).T
+            + torch.from_numpy(b)
+        ).numpy()
+
+    # converter's permutation logic (torch_convert.convert_stylegan2_discriminator)
+    w0 = np.transpose(w, (1, 0))  # [in, out]
+    idx = np.arange(w0.shape[0]).reshape(c, 4, 4)
+    perm = np.transpose(idx, (1, 2, 0)).reshape(-1)
+    w_nhwc = w0[perm]
+
+    x_nhwc = np.transpose(x, (0, 2, 3, 1)).reshape(2, -1)
+    got = x_nhwc @ w_nhwc + b
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
