@@ -34,6 +34,10 @@ from jax import lax
 from ..ops import fused_act
 from . import stylegan2 as sg2
 
+# OFF: the input-phase split (fewer padded-zero FLOPs) measured SLOWER
+# end-to-end (122 vs 129 img/s) — the lane-dim channel slices relayout.
+USE_SPLIT_CONV = False
+
 BLUR = np.asarray(sg2.ufd.make_kernel(list(sg2.BLUR_KERNEL)), np.float64)
 
 
@@ -148,6 +152,52 @@ def s2d_conv_kernel3(w):
                                 w[dy + 1, dx + 1]
                             )
     return k3.reshape(3, 3, 4 * cin, 4 * cout)
+
+
+def _split_kernels(w):
+    """K3 split by input y-phase: two [2,3,2Cin,4Cout] kernels (windows
+    {m,m+1} / {m-1,m} on the block grid), halving the zero padding that the
+    single 3x3 block kernel carries. dy = 2*d' - py (ry=0) and
+    dy = 2(d'-1) + 1 - py (ry=1); x stays the 3-window with rx folded in."""
+    cin, cout = w.shape[2], w.shape[3]
+    ks = []
+    for ry in range(2):
+        k = jnp.zeros((2, 3, 2, cin, 2, 2, cout), w.dtype)  # [dy', dx, rx, ci, py, px, co]
+        for dyp in range(2):
+            for py in range(2):
+                dy = 2 * dyp - py if ry == 0 else 2 * (dyp - 1) + 1 - py
+                if not -1 <= dy <= 1:
+                    continue
+                for dbx in range(3):
+                    for rx in range(2):
+                        for px in range(2):
+                            dx = 2 * (dbx - 1) + rx - px
+                            if not -1 <= dx <= 1:
+                                continue
+                            k = k.at[dyp, dbx, rx, :, py, px, :].set(
+                                w[dy + 1, dx + 1]
+                            )
+        ks.append(k.reshape(2, 3, 2 * cin, 4 * cout))
+    return ks
+
+
+def modconv3x3_s2d_split(p, x2, style):
+    """modconv3x3_s2d via the input-phase split (fewer padded-zero FLOPs)."""
+    s, demod, scale = _mod_demod(p, style, 3)
+    cin = p["w"].shape[2]
+    xs = x2 * jnp.tile(s, (1, 4))[:, None, None, :].astype(x2.dtype)
+    k0, k1 = _split_kernels(p["w"] * scale)
+    x_ry0 = xs[..., : 2 * cin]
+    x_ry1 = xs[..., 2 * cin :]
+    dn = ("NHWC", "HWIO", "NHWC")
+    out = lax.conv_general_dilated(
+        x_ry0, k0.astype(x2.dtype), (1, 1), ((0, 1), (1, 1)),
+        dimension_numbers=dn,
+    ) + lax.conv_general_dilated(
+        x_ry1, k1.astype(x2.dtype), (1, 1), ((1, 0), (1, 1)),
+        dimension_numbers=dn,
+    )
+    return out * jnp.tile(demod, (1, 4))[:, None, None, :].astype(out.dtype)
 
 
 def modconv3x3_s2d(p, x2, style):
@@ -282,7 +332,8 @@ def final_block_s2d(conv_up_p, conv_p, to_rgb_p, x, skip, lat_up, lat_conv,
         out2, jnp.tile(conv_up_p["act_b"], 4), impl=impl
     )
 
-    out2 = modconv3x3_s2d(conv_p["conv"], out2, lat_conv)
+    conv_fn = modconv3x3_s2d_split if USE_SPLIT_CONV else modconv3x3_s2d
+    out2 = conv_fn(conv_p["conv"], out2, lat_conv)
     if noise_conv is not None:
         n2 = jnp.repeat(noise_to_s2d(noise_conv.astype(out2.dtype)), cout, axis=-1)
         out2 = out2 + conv_p["noise_w"].astype(out2.dtype) * n2

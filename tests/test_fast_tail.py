@@ -81,3 +81,17 @@ def test_final_block_s2d_matches_standard():
         conv_up, conv, torgb, x, skip, lat[:, 0], lat[:, 1], lat[:, 2], n1, n2
     )
     assert_close(got, want, rtol=5e-4, atol=5e-4, tpu_atol=4e-2, tpu_rtol=4e-2)
+
+
+def test_modconv3x3_s2d_split_matches():
+    key = jax.random.PRNGKey(30)
+    p = sg2.init_modulated_conv(key, 8, 8, 3, 32)
+    x = jax.random.normal(jax.random.PRNGKey(31), (2, 8, 8, 8))
+    style = jax.random.normal(jax.random.PRNGKey(32), (2, 32))
+    want = fast.depth_to_space(
+        fast.modconv3x3_s2d(p, sg2._space_to_depth(x), style)
+    )
+    got = fast.depth_to_space(
+        fast.modconv3x3_s2d_split(p, sg2._space_to_depth(x), style)
+    )
+    assert_close(got, want, rtol=2e-4, atol=2e-4)
