@@ -85,6 +85,16 @@ def run(opt, n_epoch_default: int = N_EPOCH_SINGLE, save_loss_artifacts: bool = 
         ckpt.save_walk(output_dir, epoch, wp)
         logging.info("Save W in %s", ckpt.walk_ckpt_path(output_dir, epoch))
 
+    frozen_provider = None
+    gan_state = {}
+    if opt.updateGAN:
+        # Joint GAN fine-tuning (the reference's --updateGAN raises;
+        # engine/gan.py implements the WGAN-GP machinery). D sees real images
+        # from --real_data_dir vs G(z); the walk step picks up the refreshed
+        # G through the live-frozen channel each iteration.
+        assert opt.real_data_dir, "--updateGAN needs --real_data_dir"
+        frozen_provider = _make_gan_provider(editor, opt, mesh, gan_state)
+
     with logmod.profile_trace(getattr(opt, "profile_dir", "")):
         walk_params, history = train_loop(
             editor,
@@ -100,8 +110,16 @@ def run(opt, n_epoch_default: int = N_EPOCH_SINGLE, save_loss_artifacts: bool = 
             on_epoch_end=on_epoch_end,
             start_epoch=start_epoch,
             opt_state=opt_state,
+            frozen_provider=frozen_provider,
         )
     ckpt.save_walk(output_dir, n_epochs, walk_params, final=True)
+    if gan_state.get("module") is not None:
+        # save the fine-tuned GAN (the reference's save_path_gan surface)
+        mod = gan_state["module"]
+        ckpt.save_pytree(
+            os.path.join(output_dir, f"model_gan_{n_epochs}_final.ckpt"),
+            {"g": mod.g_params, "g_running": mod.g_running, "d": mod.d_params},
+        )
 
     if save_loss_artifacts:
         np.save(os.path.join(output_dir, "loss_values.npy"), np.asarray(loss_values))
@@ -109,6 +127,63 @@ def run(opt, n_epoch_default: int = N_EPOCH_SINGLE, save_loss_artifacts: bool = 
     if writer is not None:
         writer.close()
     return walk_params, history
+
+
+def _make_gan_provider(editor, opt, mesh, gan_state):
+    """Build the per-iteration GAN update callback for --updateGAN."""
+    import glob as globmod
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..engine.gan import GANModule, make_gan_update_steps
+    from ..models import stylegan2 as sg2
+    from ..parallel import mesh as meshlib
+    from ..utils.image import load_and_resize_image
+
+    size = editor.cfg.size
+    mod = GANModule.create(editor.g_params, d_params=editor.d_params,
+                           lr=opt.gan_lr)
+    gan_state["module"] = mod
+
+    def g_apply(gp, z):
+        return sg2.generator_forward(gp, z, dtype=editor.cfg.compute_dtype)
+
+    def d_apply(dp, img):
+        return sg2.discriminator_forward(dp, img,
+                                         dtype=editor.cfg.compute_dtype)
+
+    d_step, g_step = make_gan_update_steps(g_apply, d_apply, mod.g_opt,
+                                           mod.d_opt)
+    paths = sorted(
+        p for p in globmod.glob(os.path.join(opt.real_data_dir, "**", "*"),
+                                recursive=True)
+        if p.lower().endswith((".png", ".jpg", ".jpeg"))
+    )
+    assert paths, f"no images under {opt.real_data_dir}"
+    rng = np.random.RandomState(0)
+    key_box = [jax.random.PRNGKey(123)]
+
+    def provider(epoch, i):
+        idx = rng.randint(0, len(paths), size=opt.batch_size)
+        real = np.stack([load_and_resize_image(paths[j], size) for j in idx])
+        real = jnp.asarray(real, jnp.float32) / 127.5 - 1.0
+        z = jnp.asarray(rng.randn(opt.batch_size, editor.cfg.dim_z),
+                        jnp.float32)
+        key_box[0], k1 = jax.random.split(key_box[0])
+        mod.d_params, mod.d_opt_state, _ = d_step(
+            mod.d_params, mod.d_opt_state, mod.g_params, z, real, k1
+        )
+        mod.g_params, mod.g_opt_state, mod.g_running, _ = g_step(
+            mod.g_params, mod.g_opt_state, mod.g_running, mod.d_params, z,
+            None, None,
+        )
+        frozen = dict(editor.frozen_params())
+        frozen["g"] = mod.g_params
+        frozen["d"] = mod.d_params
+        return meshlib.replicate(mesh, frozen) if mesh is not None else frozen
+
+    return provider
 
 
 def _save_samples(editor, walk_params, output_dir, epoch, i, batch_size):

@@ -81,6 +81,10 @@ def _build_train_parser() -> argparse.ArgumentParser:
     parser.add_argument("--kernel_impl", type=str, default=None,
                         choices=["conv", "stencil", "separable", "pallas"],
                         help="upfirdn2d/fused-act implementation override")
+    parser.add_argument("--real_data_dir", type=str, default="",
+                        help="directory of real images for --updateGAN joint "
+                             "fine-tuning (D sees real vs generated)")
+    parser.add_argument("--gan_lr", type=float, default=1e-4)
     parser.add_argument("--resume", action="store_true",
                         help="resume from the latest epoch checkpoint in the "
                              "experiment dir (walk + optimizer state)")

@@ -118,8 +118,12 @@ def make_train_step(
         jit_step = jax.jit(step5, donate_argnums=(0, 1))
         frozen_dev = jax.device_put(frozen_host)
 
-    def step(walk_params, opt_state, z, key):
-        return jit_step(walk_params, opt_state, z, key, frozen_dev)
+    def step(walk_params, opt_state, z, key, frozen=None):
+        """frozen: optional live override of the frozen towers (e.g. a
+        jointly fine-tuned G under --updateGAN); defaults to the build-time
+        params."""
+        return jit_step(walk_params, opt_state, z, key,
+                        frozen_dev if frozen is None else frozen)
 
     return step
 
@@ -179,6 +183,7 @@ def train_loop(
     on_epoch_end: Callable | None = None,
     start_epoch: int = 0,
     opt_state=None,
+    frozen_provider: Callable | None = None,
 ) -> tuple[Any, list[float]]:
     """The reference's epoch/iteration structure (train.py:39-132) around the
     jitted step. Returns (walk_params, loss_history). Pass start_epoch +
@@ -203,8 +208,9 @@ def train_loop(
             if mesh is not None:
                 z = meshlib.shard_batch(mesh, z)
             step_key = jax.random.fold_in(key, it_global)
+            frozen = frozen_provider(epoch, i) if frozen_provider else None
             walk_params, opt_state, metrics = step(
-                walk_params, opt_state, z, step_key
+                walk_params, opt_state, z, step_key, frozen=frozen
             )
             if on_step is not None or (log_every and i % log_every == 0):
                 metrics = jax.device_get(metrics)
