@@ -83,11 +83,14 @@ def run(opt, conf):
             imgs, alpha_org, orig = editor.sweep(walk_params, z, panels)
             orig_u8 = imgmod.to_uint8(orig)
             org_all = np.asarray(editor.regress_all(orig))
-            for pi in range(imgs.shape[0]):
-                ed_u8 = imgmod.to_uint8(imgs[pi])
-                pred_all = np.asarray(editor.regress_all(imgs[pi]))
+            # one regressor call over all panels (flattened [P*B, ...])
+            p, b = imgs.shape[0], imgs.shape[1]
+            preds_all = np.asarray(
+                editor.regress_all(imgs.reshape(p * b, *imgs.shape[2:]))
+            ).reshape(p, b, -1)
+            for pi in range(p):
                 acc.add_batch(
-                    pred_all, org_all, ed_u8, orig_u8,
+                    preds_all[pi], org_all, imgmod.to_uint8(imgs[pi]), orig_u8,
                     target_idx=editor.cfg.attr_idx[a_pos],
                 )
         identity = ev.identity_preservation(acc, embed_fn)
