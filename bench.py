@@ -5,8 +5,11 @@ the original, ResNet-50 attribute regression, walk, synthesis of the edit —
 i.e. the work vis_w.py does per panel (two generator forwards + one regressor
 forward), at 1024px, bf16 compute, batch BATCH.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": imgs/sec, "unit": "img/s", "vs_baseline": ratio}
+Prints ONE JSON line; the headline metric stays the edit-inference
+throughput, with the 256px full-tower walk-TRAINING throughput carried as
+extra fields (train_steps_per_s / train_samples_per_s @ train_batch):
+  {"metric": ..., "value": imgs/sec, "unit": "img/s", "vs_baseline": ratio,
+   "train_steps_per_s": ..., "train_samples_per_s": ..., "train_batch": N}
 
 Baseline: BASELINE.md documents the A100-class estimate for the same pipeline
 (A100_EDIT_IMG_S below). The reference repo publishes no numbers (SURVEY §6),
@@ -30,6 +33,51 @@ BATCH = 16
 SIZE = 1024
 ITERS = 20
 WARMUP = 3
+
+
+TRAIN_SIZE = 256
+TRAIN_BATCH = 16
+TRAIN_ITERS = 10
+TRAIN_WARMUP = 2
+
+
+def bench_train():
+    """256px full-tower walk-training step throughput (two G fwds + R + VGG
+    + D fwds, backward through the frozen graph into the walk, Adam)."""
+    from latent2im_tpu.engine.editor import Editor, EditorConfig
+    from latent2im_tpu.engine.train import make_optimizer, make_train_step
+    from latent2im_tpu.models import resnet as rn
+    from latent2im_tpu.models import stylegan2 as sg2
+    from latent2im_tpu.models import vgg as vggm
+    from latent2im_tpu.tasks.transforms import get_task
+    from latent2im_tpu.walks import init_walk
+
+    key = jax.random.PRNGKey(0)
+    kg, kd, kr, kv, kw = jax.random.split(key, 5)
+    g = sg2.init_generator(kg, TRAIN_SIZE, style_dim=512, n_mlp=8)
+    d = sg2.init_discriminator(kd, TRAIN_SIZE)
+    reg = rn.init_resnet50(kr, num_outputs=40)
+    vgg = vggm.init_vgg(kv, "vgg19")
+    cfg = EditorConfig(
+        attr_list=("Smiling",), attr_idx=(31,), size=TRAIN_SIZE,
+        compute_dtype=jnp.bfloat16,
+    )
+    ed = Editor(cfg, g, reg_params=reg, vgg_params=vgg, d_params=d)
+    walk = init_walk(kw, "linear_w", 512, cfg.n_latent, ["Smiling"])
+    opt = make_optimizer(1e-4)
+    state = opt.init(walk)
+    step = make_train_step(ed, get_task("face"), opt)
+
+    z = jax.random.normal(jax.random.PRNGKey(1), (TRAIN_BATCH, 512))
+    for i in range(TRAIN_WARMUP):
+        walk, state, metrics = step(walk, state, z, jax.random.PRNGKey(i))
+        float(metrics["loss"])
+    t0 = time.perf_counter()
+    for i in range(TRAIN_ITERS):
+        walk, state, metrics = step(walk, state, z, jax.random.PRNGKey(i))
+    float(metrics["loss"])  # host sync; steps serialize on the device queue
+    dt = time.perf_counter() - t0
+    return TRAIN_ITERS / dt, TRAIN_ITERS * TRAIN_BATCH / dt
 
 
 def main():
@@ -75,6 +123,8 @@ def main():
     dt = time.perf_counter() - t0
 
     imgs_per_sec = BATCH * ITERS / dt
+
+    train_steps_s, train_samples_s = bench_train()
     print(
         json.dumps(
             {
@@ -82,6 +132,10 @@ def main():
                 "value": round(imgs_per_sec, 3),
                 "unit": "img/s",
                 "vs_baseline": round(imgs_per_sec / A100_EDIT_IMG_S, 3),
+                "train_steps_per_s": round(train_steps_s, 3),
+                "train_samples_per_s": round(train_samples_s, 3),
+                "train_batch": TRAIN_BATCH,
+                "train_size_px": TRAIN_SIZE,
             }
         )
     )

@@ -39,9 +39,11 @@ def run(opt, conf):
 
     editor, walk_params, info = build_editor_from_options(conf)
     if opt.save_path_w:
-        walk_params, _, _ = ckpt.load_walk(opt.save_path_w, walk_params)
+        walk_params, _, _ = ckpt.load_walk(opt.save_path_w, walk_params,
+                                           attr_list=info["attr_list"])
         print(f"Load w in {opt.save_path_w}")
 
+    ref_parity = bool(getattr(opt, "ref_parity", False))
     facenet_path = getattr(opt, "facenet_path", "")
     if facenet_path:
         import jax
@@ -57,7 +59,9 @@ def run(opt, conf):
         embed_jit = jax.jit(lambda x: fn.facenet_forward(fparams, x))
 
         def embed_fn(imgs_u8):
-            return embed_jit(ev.resize_for_embedding(imgs_u8, 160))
+            return embed_jit(
+                ev.resize_for_embedding(imgs_u8, 160, ref_parity=ref_parity)
+            )
 
         embed_name = "facenet-vggface2"
     else:
@@ -107,13 +111,28 @@ def run(opt, conf):
     out_dir = opt.output_dir or "."
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "eval_report.json"), "w") as f:
-        json.dump({"embedding": embed_name, "results": report}, f, indent=2)
+        json.dump(
+            {
+                "embedding": embed_name,
+                # provenance: 'reference' = raw 0-255 NEAREST-resized inputs
+                # exactly as eval.py:144-155; 'whitened' = bilinear +
+                # (x-127.5)/128. Numbers from the two modes must not be
+                # cross-compared.
+                "embedding_preprocess": "reference" if ref_parity else "whitened",
+                "results": report,
+            },
+            f, indent=2,
+        )
     return report
 
 
 def main():
     vo = VisOptions()
     vo.parser.add_argument("--facenet_path", type=str, default="")
+    vo.parser.add_argument("--ref_parity", action="store_true",
+                           help="feed raw 0-255 NEAREST-resized images to the "
+                                "identity embedding, exactly as the reference "
+                                "eval.py does")
     opt, conf = vo.parse()
     run(opt, conf)
 

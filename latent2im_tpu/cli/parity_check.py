@@ -35,10 +35,13 @@ def _build(args):
     from ..config.options import TrainOptions
     from ..engine.build import build_editor_from_options
 
+    # content loss stays ON so the VGG-feature distance column is populated
+    # (random-init VGG19 when --vgg_path is absent — still a deterministic
+    # perceptual-distance proxy; zero iff images match).
     argv = ["--transform", "face", "--attrList", "Smiling",
             "--attrPath", "/root/repo/dataset/attributes_celeba.txt",
             "--models_dir", "/tmp/l2i_parity", "--overwrite_config",
-            "--no_gan_loss", "--no_content_loss"]
+            "--no_gan_loss"]
     if args.g_path:
         argv += ["--g_path", args.g_path]
     if args.reg_path:
@@ -69,6 +72,26 @@ def vgg_distance(editor, a, b):
     return float(content_loss(editor.vgg_params, jnp.asarray(a), jnp.asarray(b)))
 
 
+def lpips_distance(args, a, b):
+    """LPIPS-proper (models.lpips) when the official head weights are given:
+    --lpips_path = PerceptualSimilarity vgg.pth, --vgg16_path = torchvision
+    vgg16 features state dict. Returns per-batch mean, or None if unconfigured."""
+    if not args.lpips_path or not args.vgg16_path:
+        return None
+    import torch
+
+    from ..io import torch_convert as tc
+    from ..models import lpips as lp
+
+    vgg16 = tc.convert_vgg_features(
+        torch.load(args.vgg16_path, map_location="cpu", weights_only=False), "vgg16"
+    )
+    params = tc.convert_lpips(
+        torch.load(args.lpips_path, map_location="cpu", weights_only=False), vgg16
+    )
+    return float(jnp.mean(lp.lpips_forward(params, jnp.asarray(a), jnp.asarray(b))))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser("parity check")
     ap.add_argument("mode", choices=["record", "compare"])
@@ -77,6 +100,10 @@ def main(argv=None):
     ap.add_argument("--g_path", default="")
     ap.add_argument("--reg_path", default="")
     ap.add_argument("--vgg_path", default="")
+    ap.add_argument("--lpips_path", default="",
+                    help="official LPIPS vgg.pth lin-head weights")
+    ap.add_argument("--vgg16_path", default="",
+                    help="torchvision vgg16 features state dict (LPIPS backbone)")
     ap.add_argument("--resolution", type=int, default=None)
     ap.add_argument("--dev_tiny", action="store_true")
     ap.add_argument("--n", type=int, default=8)
@@ -98,13 +125,18 @@ def main(argv=None):
     mse = float(np.mean((a - b) ** 2))
     psnr = 10 * np.log10(4.0 / mse) if mse > 0 else float("inf")  # range [-1,1]
     vggd = vgg_distance(editor, a, b)
-    score_mad = float(np.max(np.abs(ref["scores"] - scores)))
     report = {
         "max_abs_pixel_diff": max_abs,
         "psnr_db": psnr,
         "vgg_feature_distance": vggd,
-        "max_abs_score_diff": score_mad,
     }
+    if "scores" in ref.files:  # torch-side fixtures may omit regressor scores
+        report["max_abs_score_diff"] = float(
+            np.max(np.abs(ref["scores"] - scores))
+        )
+    lpips_val = lpips_distance(args, a, b)
+    if lpips_val is not None:
+        report["lpips"] = lpips_val
     for k, v in report.items():
         print(f"{k}: {v:.6g}")
     return report

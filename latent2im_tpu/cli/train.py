@@ -78,6 +78,7 @@ def run(opt, n_epoch_default: int = N_EPOCH_SINGLE, save_loss_artifacts: bool = 
             dt, epoch, i * batch, loss, float(metrics["alpha_target_mean"]),
         )
         step_counter["n"] += 1
+        gan_state["walk"] = current_walk  # --updateGAN edits with the live walk
         if save_freq and i % save_freq == 0:
             _save_samples(editor, current_walk, output_dir, epoch, i, batch)
 
@@ -86,14 +87,20 @@ def run(opt, n_epoch_default: int = N_EPOCH_SINGLE, save_loss_artifacts: bool = 
         logging.info("Save W in %s", ckpt.walk_ckpt_path(output_dir, epoch))
 
     frozen_provider = None
-    gan_state = {}
+    gan_state = {"walk": walk_params}
     if opt.updateGAN:
         # Joint GAN fine-tuning (the reference's --updateGAN raises;
         # engine/gan.py implements the WGAN-GP machinery). D sees real images
-        # from --real_data_dir vs G(z); the walk step picks up the refreshed
-        # G through the live-frozen channel each iteration.
+        # from --real_data_dir vs the walk-EDITED G outputs; the walk step
+        # picks up the refreshed G through the live-frozen channel each
+        # iteration.
         assert opt.real_data_dir, "--updateGAN needs --real_data_dir"
-        frozen_provider = _make_gan_provider(editor, opt, mesh, gan_state)
+        if "stylegan" not in opt.model:
+            raise SystemExit(
+                "--updateGAN is implemented for the stylegan models only "
+                "(the reference's PGGAN updateGAN path is dead code)"
+            )
+        frozen_provider = _make_gan_provider(editor, opt, mesh, gan_state, task)
 
     with logmod.profile_trace(getattr(opt, "profile_dir", "")):
         walk_params, history = train_loop(
@@ -129,29 +136,47 @@ def run(opt, n_epoch_default: int = N_EPOCH_SINGLE, save_loss_artifacts: bool = 
     return walk_params, history
 
 
-def _make_gan_provider(editor, opt, mesh, gan_state):
-    """Build the per-iteration GAN update callback for --updateGAN."""
+def _make_gan_provider(editor, opt, mesh, gan_state, task):
+    """Build the per-iteration GAN update callback for --updateGAN.
+
+    Semantics mirror the reference's commented WGAN-GP block (pggan
+    transform_base.py:413-471): D scores real images against the walk-EDITED
+    fakes (feed_dict['logit'] there is the edited image), and the G step adds
+    LAMBDA * masked edit loss when the task defines a pixel-space target
+    (get_edit_loss, pggan transform_base.py:344-349). Real batches ride the
+    native threaded Loader (native/l2i_native.cpp) so the chip never waits on
+    per-image Python decode.
+    """
     import glob as globmod
 
     import jax
     import jax.numpy as jnp
 
     from ..engine.gan import GANModule, make_gan_update_steps
+    from ..models import resnet as rn
     from ..models import stylegan2 as sg2
     from ..parallel import mesh as meshlib
-    from ..utils.image import load_and_resize_image
 
     size = editor.cfg.size
+    cdt = editor.cfg.compute_dtype
     mod = GANModule.create(editor.g_params, d_params=editor.d_params,
                            lr=opt.gan_lr)
     gan_state["module"] = mod
+    attr_idx = np.asarray(editor.cfg.attr_idx)
 
-    def g_apply(gp, z):
-        return sg2.generator_forward(gp, z, dtype=editor.cfg.compute_dtype)
+    def g_apply(gp, batch):
+        # The GAN sees the same edited distribution the walk step produces:
+        # z -> W+ -> regress current alpha -> walk by (target - org) -> G.
+        w = sg2.style_forward(gp, batch["z"])
+        latent = jnp.repeat(w[:, None, :], editor.cfg.n_latent, axis=1)
+        orig = sg2.synthesize(gp, latent, dtype=cdt)
+        preds, _ = rn.resnet50_forward(batch["reg"], orig, dtype=cdt)
+        delta = batch["alpha"] - preds[:, jnp.asarray(attr_idx)]
+        latent_new = editor.edit(batch["walk"], latent, delta)
+        return sg2.synthesize(gp, latent_new, dtype=cdt)
 
     def d_apply(dp, img):
-        return sg2.discriminator_forward(dp, img,
-                                         dtype=editor.cfg.compute_dtype)
+        return sg2.discriminator_forward(dp, img, dtype=cdt)
 
     d_step, g_step = make_gan_update_steps(g_apply, d_apply, mod.g_opt,
                                            mod.d_opt)
@@ -161,22 +186,36 @@ def _make_gan_provider(editor, opt, mesh, gan_state):
         if p.lower().endswith((".png", ".jpg", ".jpeg"))
     )
     assert paths, f"no images under {opt.real_data_dir}"
+    next_real = _make_real_batcher(paths, size, opt.batch_size)
     rng = np.random.RandomState(0)
     key_box = [jax.random.PRNGKey(123)]
+    has_pixel_target = hasattr(task, "get_target_np")
 
     def provider(epoch, i):
-        idx = rng.randint(0, len(paths), size=opt.batch_size)
-        real = np.stack([load_and_resize_image(paths[j], size) for j in idx])
-        real = jnp.asarray(real, jnp.float32) / 127.5 - 1.0
+        real = jnp.asarray(next_real(), jnp.float32) / 127.5 - 1.0
         z = jnp.asarray(rng.randn(opt.batch_size, editor.cfg.dim_z),
                         jnp.float32)
+        alpha, _ = task.train_alpha_np(rng, opt.batch_size, len(attr_idx))
+        batch = {"z": z, "alpha": jnp.asarray(alpha),
+                 "walk": gan_state["walk"], "reg": editor.reg_params}
         key_box[0], k1 = jax.random.split(key_box[0])
         mod.d_params, mod.d_opt_state, _ = d_step(
-            mod.d_params, mod.d_opt_state, mod.g_params, z, real, k1
+            mod.d_params, mod.d_opt_state, mod.g_params, batch, real, k1
         )
+        target = mask = None
+        if has_pixel_target:
+            # geometric lineage: masked L2 toward the warped original
+            w = sg2.style_forward(mod.g_params, batch["z"])
+            latent = jnp.repeat(w[:, None, :], editor.cfg.n_latent, axis=1)
+            orig = np.asarray(
+                sg2.synthesize(mod.g_params, latent, dtype=cdt), np.float32
+            )
+            target_np, mask_np = task.get_target_np(orig, alpha)
+            target = jnp.asarray(target_np, jnp.float32)
+            mask = jnp.asarray(mask_np, jnp.float32)
         mod.g_params, mod.g_opt_state, mod.g_running, _ = g_step(
-            mod.g_params, mod.g_opt_state, mod.g_running, mod.d_params, z,
-            None, None,
+            mod.g_params, mod.g_opt_state, mod.g_running, mod.d_params, batch,
+            target, mask,
         )
         frozen = dict(editor.frozen_params())
         frozen["g"] = mod.g_params
@@ -184,6 +223,43 @@ def _make_gan_provider(editor, opt, mesh, gan_state):
         return meshlib.replicate(mesh, frozen) if mesh is not None else frozen
 
     return provider
+
+
+def _make_real_batcher(paths, size, batch_size):
+    """-> next() yielding [B, size, size, 3] uint8 batches; threaded C++
+    prefetch Loader with a per-image PIL fallback."""
+    try:
+        from ..native import _l2i_native as nat
+
+        loader = nat.Loader(paths, size, batch_size, threads=2)
+        epoch_box = [0]
+        loader.start_epoch(seed=0, shuffle=True)
+
+        def next_native():
+            while True:
+                try:
+                    raw, idx = loader.next_batch()
+                except StopIteration:
+                    epoch_box[0] += 1
+                    loader.start_epoch(seed=epoch_box[0], shuffle=True)
+                    continue
+                if len(idx) == batch_size:  # drop ragged tail batches
+                    return np.frombuffer(raw, np.uint8).reshape(
+                        batch_size, size, size, 3
+                    )
+
+        return next_native
+    except ImportError:
+        from ..utils.image import load_and_resize_image
+
+        rng = np.random.RandomState(0)
+
+        def next_py():
+            idx = rng.randint(0, len(paths), size=batch_size)
+            return np.stack([load_and_resize_image(paths[j], size)
+                             for j in idx])
+
+        return next_py
 
 
 def _save_samples(editor, walk_params, output_dir, epoch, i, batch_size):

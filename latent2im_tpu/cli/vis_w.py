@@ -41,7 +41,8 @@ def run(opt, conf):
 
     editor, walk_params, info = build_editor_from_options(conf)
     if opt.save_path_w:
-        walk_params, _, meta = ckpt.load_walk(opt.save_path_w, walk_params)
+        walk_params, _, meta = ckpt.load_walk(opt.save_path_w, walk_params,
+                                              attr_list=info["attr_list"])
         print(f"Load w in {opt.save_path_w} ({(meta or {}).get('source', 'native')})")
 
     from ..tasks.transforms import get_task

@@ -22,7 +22,7 @@ import jax
 class CompatGraph:
     """Reference-flavored facade over (Editor, Task, walk params)."""
 
-    def __init__(self, editor, task, walk_params, info):
+    def __init__(self, editor, task, walk_params, info, seed: int = 0):
         self.editor = editor
         self.task = task
         self.walk = walk_params
@@ -32,6 +32,10 @@ class CompatGraph:
         self.Nsliders = len(self.attrList)
         self.dim_z = editor.cfg.dim_z
         self.img_size = editor.cfg.size
+        # Own the alpha-sampling stream: two identical compat runs produce
+        # identical alphas (the reference samples from global np.random;
+        # utils/transforms.py:647-663 statistics are preserved).
+        self.rng = np.random.RandomState(seed)
 
     # --- reference method surface -----------------------------------------
     def get_w(self, z):
@@ -46,9 +50,8 @@ class CompatGraph:
         return self.editor.regress(logit)
 
     def get_train_alpha(self, zs_batch, N_attr=None, trainEmbed=False):
-        rng = np.random
         a_graph, a_target = self.task.train_alpha_np(
-            np.random.RandomState(rng.randint(2**31)),
+            self.rng,
             len(zs_batch),
             N_attr or len(self.attrList),
         )
@@ -91,7 +94,8 @@ class CompatGraph:
     def load_multi_models(self, save_path_w, save_path_gan=None, **kw):
         from .io import checkpoint as ckpt
 
-        self.walk, _, _ = ckpt.load_walk(save_path_w, self.walk)
+        self.walk, _, _ = ckpt.load_walk(save_path_w, self.walk,
+                                         attr_list=getattr(self, "attrList", None))
 
     def clip_ims(self, ims):
         from .engine.editor import clip_ims

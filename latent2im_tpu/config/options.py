@@ -56,6 +56,10 @@ def _build_train_parser() -> argparse.ArgumentParser:
     parser.add_argument("--no_content_loss", action="store_true")
     parser.add_argument("--no_gan_loss", action="store_true")
     # TPU-native additions
+    parser.add_argument("--fixed_noise", action="store_true",
+                        help="use the stored noise buffers during training "
+                             "instead of fresh per-step noise "
+                             "(randomize_noise=False semantics)")
     parser.add_argument("--stable_bce", action="store_true",
                         help="numerically-stable sigmoid BCE instead of the "
                              "reference's raw-output BCE")

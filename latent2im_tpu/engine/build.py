@@ -103,33 +103,39 @@ def build_editor_from_options(opt, seed: int = 0):
             d_params = pgg.init_discriminator(kd)
         cdt = jnp.bfloat16 if getattr(opt, "bf16", False) else jnp.float32
 
+        # Params arrive as the first argument (Editor passes its live
+        # g_params/d_params) so the towers ride the frozen-params jit-argument
+        # path instead of being baked into the program as constants.
         if zoo_g is not None:
             from ..models import pgan_zoo
 
-            def synth_fn(z, _g=g_params):
-                img = pgan_zoo.generator_forward(_g, z, dtype=cdt)
+            def synth_fn(g, z):
+                img = pgan_zoo.generator_forward(g, z, dtype=cdt)
                 return jax.image.resize(
                     img, (img.shape[0], img.shape[1] // 2, img.shape[2] // 2, 3),
                     "linear",
                 )
         else:
-            def synth_fn(z, _g=g_params, _step=step):
-                img = pgg.generator_forward(_g, z, step=_step, dtype=cdt)
+            def synth_fn(g, z, _step=step):
+                img = pgg.generator_forward(g, z, step=_step, dtype=cdt)
                 return jax.image.resize(
                     img, (img.shape[0], img.shape[1] // 2, img.shape[2] // 2, 3),
                     "linear",
                 )
 
-        def disc_fn(img, _d=d_params, _step=step):
+        def disc_fn(d, img, _step=step):
             up = jax.image.resize(
                 img, (img.shape[0], img.shape[1] * 2, img.shape[2] * 2, 3),
                 "linear",
             )
-            score, _ = pgg.discriminator_forward(_d, up, step=_step, dtype=cdt)
+            score, _ = pgg.discriminator_forward(d, up, step=_step, dtype=cdt)
             return score
     elif g_path:
         ckpt = _load_torch(g_path)
         g_params = tc.convert_stylegan2_generator(ckpt["g_ema"], size)
+        # the checkpoint defines the latent width (512 for real rosinality
+        # models; tiny test fixtures differ)
+        dim_z = int(g_params["style"][0]["w"].shape[0])
         d_params = (
             tc.convert_stylegan2_discriminator(ckpt["d"], size)
             if "d" in ckpt
@@ -181,6 +187,7 @@ def build_editor_from_options(opt, seed: int = 0):
         no_content_loss=opt.no_content_loss,
         no_gan_loss=opt.no_gan_loss,
         stable_bce=getattr(opt, "stable_bce", False),
+        fixed_noise=getattr(opt, "fixed_noise", False),
         compute_dtype=jnp.bfloat16 if getattr(opt, "bf16", False) else jnp.float32,
         kernel_impl=getattr(opt, "kernel_impl", None),
     )

@@ -49,6 +49,7 @@ class EditorConfig:
     no_content_loss: bool = False
     no_gan_loss: bool = False
     stable_bce: bool = False
+    fixed_noise: bool = False  # True = stored noise buffers during training
     compute_dtype: Any = jnp.float32
     kernel_impl: str | None = None  # None|'xla'|'pallas' for ops dispatch
 
@@ -74,8 +75,11 @@ class Editor:
         map_fn: Callable | None = None,
     ):
         """synth_fn/disc_fn/map_fn inject a non-StyleGAN2 backend (e.g. PGGAN:
-        see engine/build.py) without subclassing; they receive the latent /
-        image and must be jit-traceable."""
+        see engine/build.py) without subclassing. synth_fn(g_params, latent)
+        and disc_fn(d_params, img) receive the CURRENT tower params so the
+        frozen_params()/with_params() jit-argument contract holds for every
+        backend (a closure over the params would embed the full tower as HLO
+        constants and silently ignore with_params overrides)."""
         self.cfg = cfg
         self.g_params = g_params
         self.reg_params = reg_params
@@ -128,17 +132,31 @@ class Editor:
         w = sg2.style_forward(self.g_params, z, impl=self.cfg.kernel_impl)
         return jnp.repeat(w[:, None, :], self.cfg.n_latent, axis=1)
 
-    def synthesize(self, latent):
-        """W+ [B, L, D] (latent='w') or z [B, D] (latent='z') -> image NHWC."""
+    def synthesize(self, latent, noise_key=None):
+        """W+ [B, L, D] (latent='w') or z [B, D] (latent='z') -> image NHWC.
+
+        noise_key: optional PRNG key for fresh per-layer noise injection (the
+        reference generator's randomize_noise=True default, networks.py:
+        281-286 and :476-483); None uses the fixed stored buffers
+        (deterministic — the parity/vis mode). Backends without noise
+        injection (PGGAN) ignore it.
+        """
         cfg = self.cfg
         if self._synth_fn is not None:
-            return self._synth_fn(latent)
+            return self._synth_fn(self.g_params, latent)
+        noise = None
+        if noise_key is not None:
+            noise = sg2.make_noise(
+                self.g_params, noise_key, latent.shape[0], cfg.size
+            )
         if cfg.latent == "w":
             return sg2.synthesize(
-                self.g_params, latent, impl=cfg.kernel_impl, dtype=cfg.compute_dtype
+                self.g_params, latent, noise=noise, impl=cfg.kernel_impl,
+                dtype=cfg.compute_dtype
             )
         return sg2.generator_forward(
-            self.g_params, latent, impl=cfg.kernel_impl, dtype=cfg.compute_dtype
+            self.g_params, latent, noise=noise, impl=cfg.kernel_impl,
+            dtype=cfg.compute_dtype
         )
 
     def regress(self, img):
@@ -160,7 +178,7 @@ class Editor:
 
     def discriminate(self, img):
         if self._disc_fn is not None:
-            return self._disc_fn(img)
+            return self._disc_fn(self.d_params, img)
         return sg2.discriminator_forward(
             self.d_params, img, impl=self.cfg.kernel_impl, dtype=self.cfg.compute_dtype
         )
@@ -292,23 +310,42 @@ class Editor:
 
     def sweep_combine(self, walk_params, z, panel_alphas, indices, given_w=None):
         """All (alpha_i, alpha_j) pairs for a 2-attribute grid
-        (transform_base.py:814-869): returns images [P, P, B, H, W, C]."""
+        (transform_base.py:814-869): returns images [P, P, B, H, W, C].
+
+        One device program per batch: latent/orig/alpha_org compute once,
+        then lax.map walks the flattened P*P alpha grid on device — the same
+        design rule `sweep` follows for 1-D panels."""
         import numpy as np
 
-        panels = np.asarray(panel_alphas)
-        out = []
-        alpha_org = orig = None
-        for a1 in panels:
-            row = []
-            for a2 in panels:
-                edited, alpha_org, orig = self.apply_alpha_combine(
-                    walk_params, z,
-                    [np.full((len(z),), a1), np.full((len(z),), a2)],
-                    indices, given_w=given_w,
-                )
-                row.append(edited)
-            out.append(jnp.stack(row))
-        return jnp.stack(out), alpha_org, orig
+        positions = tuple(
+            self.cfg.attr_idx.index(i) if i in self.cfg.attr_idx else int(i)
+            for i in indices
+        )
+        panels = np.asarray(panel_alphas, np.float32)
+        p = len(panels)
+        grid = np.stack(
+            [np.repeat(panels, p), np.tile(panels, p)], axis=1
+        )  # [P*P, 2] row-major (a1 outer, a2 inner)
+
+        def run(wp, z, grid, gw):
+            latent = self.get_w(z) if gw is None else gw
+            orig = self.synthesize(latent)
+            alpha_org = self.regress(orig)
+
+            def one(pair):
+                delta = jnp.zeros_like(alpha_org)
+                for k, pos in enumerate(positions):
+                    delta = delta.at[:, pos].set(pair[k] - alpha_org[:, pos])
+                return self.synthesize(self.edit(wp, latent, delta))
+
+            imgs = jax.lax.map(one, grid)  # [P*P, B, H, W, C]
+            return imgs, alpha_org, orig
+
+        fn = self._jit(f"sweep_combine_{positions}_{given_w is None}", run)
+        imgs, alpha_org, orig = fn(
+            walk_params, jnp.asarray(z), jnp.asarray(grid), given_w
+        )
+        return imgs.reshape(p, p, *imgs.shape[1:]), alpha_org, orig
 
 
 def _bilinear_resize(img, h, w):

@@ -100,13 +100,25 @@ def identity_preservation(
     return out
 
 
-def resize_for_embedding(imgs_u8: np.ndarray, size: int = 160) -> jnp.ndarray:
-    """uint8 NHWC -> [-1,1] float resized to the facenet input size
-    (eval.py uses 160x160)."""
+def resize_for_embedding(
+    imgs_u8: np.ndarray, size: int = 160, ref_parity: bool = False
+) -> jnp.ndarray:
+    """uint8 NHWC -> float resized to the facenet input size (160x160).
+
+    Default: bilinear resize + facenet's own (x-127.5)/128 whitening — the
+    arguably-correct preprocessing. ref_parity=True reproduces the reference
+    eval.py EXACTLY (raw 0-255 values, PIL-default NEAREST resize,
+    eval.py:144-155) for apples-to-apples comparison with reference-reported
+    identity numbers; the two modes are NOT cross-comparable, so the CLI
+    records which one produced the report.
+    """
     x = jnp.asarray(imgs_u8, jnp.float32)
     if x.ndim == 3:
         x = x[None]
-    x = jax.image.resize(x, (x.shape[0], size, size, x.shape[3]), "linear")
+    method = "nearest" if ref_parity else "linear"
+    x = jax.image.resize(x, (x.shape[0], size, size, x.shape[3]), method)
+    if ref_parity:
+        return x
     return (x - 127.5) / 128.0
 
 

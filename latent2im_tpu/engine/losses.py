@@ -44,17 +44,27 @@ def gan_loss_from_logits(d_logits):
     return jnp.mean(jax.nn.softplus(-d_logits))
 
 
-def content_loss(vgg_params, org_img, edited_img, taps=vggm.CONTENT_TAPS):
+def content_loss(vgg_params, org_img, edited_img, taps=vggm.CONTENT_TAPS,
+                 dtype=jnp.float32):
     """Mean of per-tap MSEs at VGG conv_1..conv_4 (transform_base.py:426-454).
 
     NOTE: the reference normalizes the [-1,1] generator output with ImageNet
-    mean/std directly (no [0,1] rescale); reproduced exactly.
+    mean/std directly (no [0,1] rescale); reproduced exactly. dtype runs the
+    VGG tower in reduced precision (bf16 taps; the MSE reduction stays f32).
     """
     org = vggm.imagenet_normalize(jax.lax.stop_gradient(org_img))
     edi = vggm.imagenet_normalize(edited_img)
-    f_org = vggm.vgg_features(vgg_params, org, taps)
-    f_edi = vggm.vgg_features(vgg_params, edi, taps)
-    losses = [jnp.mean((jax.lax.stop_gradient(f_org[t]) - f_edi[t]) ** 2) for t in taps]
+    f_org = vggm.vgg_features(vgg_params, org, taps, dtype=dtype)
+    f_edi = vggm.vgg_features(vgg_params, edi, taps, dtype=dtype)
+    losses = [
+        jnp.mean(
+            jnp.square(
+                jax.lax.stop_gradient(f_org[t]).astype(jnp.float32)
+                - f_edi[t].astype(jnp.float32)
+            )
+        )
+        for t in taps
+    ]
     return sum(losses) / len(losses)
 
 

@@ -48,21 +48,32 @@ def make_train_step(
 
     def loss_fn(walk_params, z, key, frozen):
         ed = editor.with_params(frozen)
+        k_alpha, k_n1, k_n2 = jax.random.split(key, 3)
+        # Fresh noise per forward matches the reference's randomize_noise=True
+        # training default (networks.py:476-483): the content loss sees noise
+        # variation instead of memorizing fixed buffers. Deterministic per
+        # step via the folded key. cfg.fixed_noise restores buffer mode.
+        nk1, nk2 = (None, None) if cfg.fixed_noise else (k_n1, k_n2)
         if cfg.latent == "w":
             latent = ed.get_w(z)
         else:
             latent = z
-        img_org = ed.synthesize(latent)
+        img_org = ed.synthesize(latent, noise_key=nk1)
         alpha_org = ed.regress(img_org)
 
-        sampled, _ = task.train_alpha(key, z.shape[0], n_attr)
+        sampled, _ = task.train_alpha(k_alpha, z.shape[0], n_attr)
         target, delta = ed.unified_alphas(alpha_org, sampled)
 
-        if cfg.latent == "w":
+        # The walk input: stylegan feeds the delta (train.py:101 via
+        # get_alphas); pggan ALSO feeds the clamped delta (train_multi_attr.py
+        # ag = alpha_delta_new after get_alphas) — only a stylegan z run feeds
+        # the raw sampled step. Keeping walk input and BCE target consistent
+        # matters when the clamp engages (alpha~U(-1,1), org in [0,1]).
+        if cfg.latent == "w" or cfg.alpha_mode == "delta":
             latent_new = ed.edit(walk_params, latent, delta)
         else:
             latent_new = ed.edit(walk_params, latent, sampled)
-        img_new = ed.synthesize(latent_new)
+        img_new = ed.synthesize(latent_new, noise_key=nk2)
 
         preds = ed.regress(img_new)
         # stylegan trainers feed the sampled target to the BCE
@@ -73,7 +84,8 @@ def make_train_step(
         if cfg.no_content_loss:
             content = 0.0
         else:
-            content = L.content_loss(ed.vgg_params, img_org, img_new)
+            content = L.content_loss(ed.vgg_params, img_org, img_new,
+                                     dtype=cfg.compute_dtype)
         if cfg.no_gan_loss:
             gan = 0.0
         else:

@@ -69,10 +69,12 @@ def save_walk(
     return path
 
 
-def load_walk(path: str, walk_like, opt_state_like=None):
+def load_walk(path: str, walk_like, opt_state_like=None, attr_list=None):
     """-> (walk_params, opt_state|None, meta|None).
 
-    Falls back to the reference's torch pickle format transparently.
+    Falls back to the reference's torch pickle format transparently;
+    attr_list orders per-attribute banks for torch checkpoints (names are
+    derived from the state_dict keys when omitted).
     """
     with open(path, "rb") as f:
         head = f.read(2)
@@ -80,7 +82,8 @@ def load_walk(path: str, walk_like, opt_state_like=None):
         from .torch_convert import convert_walk_state, load_walk_checkpoint
 
         cls, state = load_walk_checkpoint(path)
-        return convert_walk_state(cls, state, []), None, {"source": "torch", "cls": cls}
+        converted = convert_walk_state(cls, state, list(attr_list or []))
+        return converted, None, {"source": "torch", "cls": cls}
     like = {"walk": walk_like}
     if opt_state_like is not None:
         like["opt_state"] = opt_state_like

@@ -56,10 +56,15 @@ def _modconv_w(t):
 # ---------------------------------------------------------------------------
 
 
-def convert_stylegan2_generator(sd: dict, size: int, n_mlp: int = 8) -> dict:
-    """rosinality g_ema state_dict -> models.stylegan2 generator pytree."""
+def convert_stylegan2_generator(sd: dict, size: int, n_mlp: int | None = None) -> dict:
+    """rosinality g_ema state_dict -> models.stylegan2 generator pytree.
+
+    n_mlp is inferred from the style.N.* keys when omitted (style.0 is the
+    PixelNorm in the reference's Sequential, so linears start at 1)."""
     import math
 
+    if n_mlp is None:
+        n_mlp = sum(1 for k in sd if k.startswith("style.") and k.endswith(".weight"))
     log_size = int(math.log2(size))
     params: dict[str, Any] = {
         "style": [
@@ -264,6 +269,35 @@ def convert_pggan_discriminator(sd: dict) -> dict:
         )
     params["linear"] = {"w": _lin_w(sd["linear.weight"]), "b": _np(sd["linear.bias"])}
     return params
+
+
+# ---------------------------------------------------------------------------
+# LPIPS (official PerceptualSimilarity vgg.pth lin heads)
+# ---------------------------------------------------------------------------
+
+
+def convert_lpips(lin_sd: dict, vgg_params: dict) -> dict:
+    """Official LPIPS 'vgg' weights -> models.lpips pytree.
+
+    lin_sd: the released vgg.pth (keys ``lin{i}.model.1.weight`` [1,C,1,1];
+    some packagings use ``lins.{i}.model.1.weight``). vgg_params: a converted
+    torchvision vgg16 tree (the backbone ships separately — the official file
+    holds only the learned heads)."""
+    from ..models.lpips import LPIPS_CHANNELS
+
+    lins = []
+    for i, c in enumerate(LPIPS_CHANNELS):
+        for k in (f"lin{i}.model.1.weight", f"lins.{i}.model.1.weight"):
+            if k in lin_sd:
+                w = _np(lin_sd[k]).reshape(-1)
+                break
+        else:
+            raise KeyError(f"LPIPS lin head {i} not found in state dict")
+        if w.shape[0] != c:
+            raise ValueError(f"lin{i} has {w.shape[0]} channels, expected {c}")
+        lins.append({"w": w})
+    assert vgg_params["cfg"] == "vgg16", "LPIPS-vgg uses a vgg16 backbone"
+    return {"vgg": vgg_params, "lins": lins}
 
 
 # ---------------------------------------------------------------------------
@@ -535,6 +569,37 @@ def convert_walk_state(cls: str, state: dict, attr_list: list[str]) -> dict:
                 for i in (0, 2)
             ],
         }
+    if cls == "WalkMlpMultiZ":
+        # stylegan z-space MLP walk (transform_base.py:86-111): embed(10->D)
+        # concat z -> Linear stack at Sequential indices 0, 2, 4 — same layout
+        # as walks.init_mlp_z.
+        return {
+            "embed": {"w": _lin_w(state["embed.weight"]),
+                      "b": _np(state["embed.bias"])},
+            "mlp": [
+                {"w": _lin_w(state[f"linear.{i}.weight"]),
+                 "b": _np(state[f"linear.{i}.bias"])}
+                for i in (0, 2, 4)
+            ],
+        }
+    if cls == "WalkLinear":
+        # stylegan z-space direction bank (transform_base.py:66-83):
+        # ParameterDict keyed by attr name, each [1, D, Nsliders].
+        names = list(attr_list) or sorted(
+            {k.split(".", 1)[1] for k in state if k.startswith("w.")}
+        )
+        if not names:
+            raise ValueError("WalkLinear checkpoint has no direction banks")
+        rows = []
+        for n in names:
+            bank = state[f"w.{n}"]  # [1, D, Nsliders]
+            if bank.shape[-1] != 1:
+                raise ValueError(
+                    f"WalkLinear attr {n!r} has Nsliders={bank.shape[-1]}; "
+                    "only Nsliders=1 maps onto the linear_z_dir layout"
+                )
+            rows.append(bank[0, :, 0])
+        return {"w": np.stack(rows)}
     if cls == "WalkLinearZ_free":
         return {"w": state["w"]}  # [A, 512]
     if cls in ("WalkMlpZ3", "WalkMlpZ2", "WalkMlpZ"):
@@ -548,8 +613,14 @@ def convert_walk_state(cls: str, state: dict, attr_list: list[str]) -> dict:
         }
     if cls in ("WalkEmbed", "walk_embed"):
         key = "w" if any(k.startswith("w.") for k in state) else "w_embed"
-        return {
-            "w": {name: state[f"{key}.{name}"] for name in attr_list
-                  if f"{key}.{name}" in state}
-        }
+        names = list(attr_list) or sorted(
+            {k.split(".", 1)[1] for k in state if k.startswith(f"{key}.")}
+        )
+        bank = {name: state[f"{key}.{name}"] for name in names
+                if f"{key}.{name}" in state}
+        if not bank:
+            raise ValueError(
+                f"WalkEmbed checkpoint has no banks matching attrs {names}"
+            )
+        return {"w": bank}
     raise ValueError(f"unknown walk checkpoint class: {cls}")

@@ -227,10 +227,13 @@ S2D_MAX_CH = 64
 FAST_TAIL = True
 FAST_TAIL_MAX_CH = 64
 FAST_TAIL_MIN_RES = 512
-# Mid (non-final) blocks measured SLOWER under s2d residency at C=64 (73 vs
-# 83 img/s end-to-end: that layer already runs ~41 TF/s and the x/skip
-# handoff relayouts eat the win), so the mid-block path is off by default.
-FAST_MID_MAX_CH = 0
+# FAST_CHAIN=True runs EVERY trailing block s2d-resident (the 512-res block
+# included, via up_modconv_s2d_in — zero handoffs). Measured SLOWER at 1024px
+# (79 vs 129 img/s): the s2d-input up-conv's phase kernel carries 4x nominal
+# FLOPs, and at 512-res the plain path already runs ~41 TF/s, so the extra
+# FLOPs lose more than full MXU lanes win. Kept (parity-tested) for
+# lower-clock parts where the tradeoff may flip; default = final block only.
+FAST_CHAIN = False
 
 
 def _space_to_depth(x):
@@ -444,44 +447,25 @@ def synthesize(
             FAST_TAIL
             and out_ch <= FAST_TAIL_MAX_CH
             and x.shape[1] * 2 >= FAST_TAIL_MIN_RES
+            and (FAST_CHAIN or is_last)
         )
-        if fast_ok and not is_last and out_ch <= FAST_MID_MAX_CH:
+        if fast_ok:
+            # s2d-resident fast tail (stylegan2_fast.py): once the channel
+            # count drops to MXU-starving widths at high resolution, EVERY
+            # remaining block runs s2d-resident — later blocks consume s2d
+            # directly (up_modconv_s2d_in), so the only depth-to-space is the
+            # final rgb. (Channels shrink and resolution grows monotonically,
+            # so fast_ok holds for the whole trailing run.)
             from . import stylegan2_fast as fast
 
-            x, skip = fast.block_s2d(
-                params["convs"][idx],
-                params["convs"][idx + 1],
-                params["to_rgbs"][idx // 2],
-                x,
-                skip,
-                latent[:, i],
-                latent[:, i + 1],
-                latent[:, i + 2],
-                noise[idx + 1],
-                noise[idx + 2],
-                impl=impl,
+            blocks = [
+                (params["convs"][j], params["convs"][j + 1],
+                 params["to_rgbs"][j // 2])
+                for j in range(idx, len(params["convs"]), 2)
+            ]
+            skip = fast.chain_blocks_s2d(
+                blocks, x, skip, latent[:, i:], noise[idx + 1:], impl=impl
             )
-            i += 2
-            continue
-        if is_last and fast_ok:
-            # s2d-resident fast tail (see stylegan2_fast.py): the whole final
-            # block computes at half spatial resolution with 4x channels.
-            from . import stylegan2_fast as fast
-
-            skip = fast.final_block_s2d(
-                params["convs"][idx],
-                params["convs"][idx + 1],
-                params["to_rgbs"][idx // 2],
-                x,
-                skip,
-                latent[:, i],
-                latent[:, i + 1],
-                latent[:, i + 2],
-                noise[idx + 1],
-                noise[idx + 2],
-                impl=impl,
-            )
-            i += 2
             break
         x = styled_conv(
             params["convs"][idx], x, latent[:, i], noise[idx + 1], upsample=True, impl=impl

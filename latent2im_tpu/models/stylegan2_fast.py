@@ -126,6 +126,153 @@ def up_modconv_s2d(p, x, style):
     return out * jnp.tile(demod, (1, 4))[:, None, None, :].astype(out.dtype)
 
 
+def compose_up_phase_kernel_s2d_in(w):
+    """w [3,3,Cin,Cout] -> [3,3,4Cin,16Cout]: the s2d-INPUT form of the fused
+    convT(stride2,k3)+blur, for chaining s2d blocks without depth-to-space.
+
+    1-D derivation (NEXT.md item 1): x stored s2d over blocks b with phases
+    r (x[2b+r]); output y[p] = sum_j x[j] G[p-2j] with the composed taps G
+    (support [-2,3], see compose_up_phase_kernel). Writing p = 4c + 2s + q
+    (c on the input block grid, s the next-level block phase, q the final
+    phase): G-index = 4(c-b) + 2(s-r) + q, so a 3-tap conv over the block
+    grid (d = c-b in {-1,0,1}) emitting QUAD phases (s,q) per axis — 16
+    output phase channels in 2-D. `quad_to_s2d` relayouts the result to the
+    s2d form of the doubled grid.
+    """
+    cin, cout = w.shape[2], w.shape[3]
+    g2 = _compose_g2(w)  # [6, 6, Cin, Cout], G index -2..3 at offset +2
+
+    # One constant-index GATHER builds the phase kernel (per-entry scatters
+    # would execute ~576 device ops per forward — measured catastrophic).
+    # Pad a zero plane at index 6 for out-of-support entries.
+    g2z = jnp.concatenate([g2, jnp.zeros((1, 6, cin, cout), g2.dtype)], axis=0)
+    g2z = jnp.concatenate(
+        [g2z, jnp.zeros((7, 1, cin, cout), g2.dtype)], axis=1
+    )  # [7, 7, Cin, Cout]
+
+    def axis_idx():
+        """[3(idx), 2(r), 2(s), 2(q)] -> g index (+2 offset), 6 = zero."""
+        out = np.full((3, 2, 2, 2), 6, np.int32)
+        for idx in range(3):
+            d = 1 - idx
+            for r in range(2):
+                for s in range(2):
+                    for q in range(2):
+                        g = 4 * d + 2 * (s - r) + q
+                        if -2 <= g <= 3:
+                            out[idx, r, s, q] = g + 2
+        return out
+
+    ay = axis_idx()  # gy index by (idx_y, ry, sy, qy)
+    # broadcast to the full [3,3,2,2,2,2,2,2] (idx_y,idx_x,ry,rx,sy,qy,sx,qx)
+    iy = ay[:, None, :, None, :, :, None, None]
+    ix = ay[None, :, None, :, None, None, :, :]
+    iy, ix = np.broadcast_arrays(
+        iy, ix
+    )  # both [3,3,2,2,2,2,2,2]
+    k = g2z[jnp.asarray(iy), jnp.asarray(ix)]  # [..., Cin, Cout]
+    # -> [idx_y, idx_x, (ry, rx, ci), (sy, qy, sx, qx, co)]
+    k = k.transpose(0, 1, 2, 3, 8, 4, 5, 6, 7, 9)
+    return k.reshape(3, 3, 4 * cin, 16 * cout)
+
+
+def _compose_g2(w):
+    """Composed convT+blur taps G2[sy+2, sx+2, ci, co] = sum_{iy,ix}
+    kf[iy,ix] w[sy+iy-1, sx+ix-1], s in [-2,3] -> a 6x6 grid, computed as one
+    padded correlation (XLA folds it into the downstream conv)."""
+    kf = jnp.asarray(BLUR[::-1, ::-1] * 4.0, w.dtype)  # [4, 4]
+    wp = jnp.pad(w, ((3, 3), (3, 3), (0, 0), (0, 0)))
+    # G2[s+2, t+2] = sum_{iy,ix} kf[iy,ix] wp[s+2+iy, t+2+ix]  (wp offset +3,
+    # index s+iy-1+3 = (s+2)+iy)
+    rows = []
+    for sy in range(6):
+        cols = []
+        for sx in range(6):
+            patch = wp[sy : sy + 4, sx : sx + 4]  # [4,4,ci,co]
+            cols.append(jnp.einsum("ij,ijab->ab", kf, patch))
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)  # [6, 6, Cin, Cout]
+
+
+def quad_to_s2d(out, cout):
+    """[B, H, W, 16Cout] quad phases (sy,qy,sx,qx,co) -> s2d of the doubled
+    grid: [B, 2H, 2W, 4Cout] with channel order (qy,qx,co)."""
+    b, h, w, _ = out.shape
+    x = out.reshape(b, h, w, 2, 2, 2, 2, cout)
+    # [B, cy, sy, cx, sx, qy, qx, co]
+    x = x.transpose(0, 1, 3, 2, 5, 4, 6, 7)
+    return x.reshape(b, 2 * h, 2 * w, 4 * cout)
+
+
+def up_modconv_s2d_in(p, x2, style):
+    """Modulated convT+blur with s2d INPUT and s2d output (chained blocks).
+
+    x2: [B, H, W, 4Cin] (s2d of the 2H grid) -> [B, 2H, 2W, 4Cout]
+    (s2d of the 4H grid)."""
+    s, demod, scale = _mod_demod(p, style, 3)
+    xs = x2 * jnp.tile(s, (1, 4))[:, None, None, :].astype(x2.dtype)
+    k = compose_up_phase_kernel_s2d_in(p["w"] * scale)
+    out = lax.conv_general_dilated(
+        xs, k.astype(x2.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    cout = p["w"].shape[3]
+    out2 = quad_to_s2d(out, cout)
+    return out2 * jnp.tile(demod, (1, 4))[:, None, None, :].astype(out2.dtype)
+
+
+def upsample_skip_s2d_in(skip2, channels=3):
+    """x2 FIR upsample of an s2d-form skip, emitting the doubled grid's s2d.
+
+    skip2: [B, H, W, 4C] (s2d of 2H) -> [B, 2H, 2W, 4C] (s2d of 4H).
+    upfirdn(up 2, pad (2,1)) gives y[p] = sum_i kf[i] z[p+i-2] with z the
+    zero-upsampled input (z[2j] = x[j]) and kf the flipped [1,3,3,1]/8 * 2
+    taps — so x[j] carries weight kf[2j - p + 2]. With p = 4c + 2s + q and
+    j = 2b + r: kf-index = -4d + 2(r-s) - q + 2, d = c-b in {-1, 0, 1} (d=1
+    reaches only (r=1,s=0,q=0); d=-1 only (r=0,s=1,q=1)) — a 3-tap conv over
+    the block grid, quad phases out.
+    """
+    k1 = np.asarray([1.0, 3.0, 3.0, 1.0])
+    k1 = k1 / k1.sum() * 2.0
+    u1 = [float(v) for v in k1[::-1]]  # kf
+    c = channels
+
+    def u(idx):
+        return u1[idx] if 0 <= idx <= 3 else 0.0
+
+    # out[c] = sum_idx K[idx] x[c + idx - 1]  (pad (1,1))  =>  d = 1 - idx
+    taps = []
+    for idx_y in range(3):
+        dy = 1 - idx_y
+        row = []
+        for idx_x in range(3):
+            dx = 1 - idx_x
+            blk = np.zeros((2, 2, c, 2, 2, 2, 2, c), np.float64)
+            for ry in range(2):
+                for rx in range(2):
+                    for sy in range(2):
+                        for qy in range(2):
+                            wy = u(-4 * dy + 2 * (ry - sy) - qy + 2)
+                            if wy == 0.0:
+                                continue
+                            for sx in range(2):
+                                for qx in range(2):
+                                    wx = u(-4 * dx + 2 * (rx - sx) - qx + 2)
+                                    if wx == 0.0:
+                                        continue
+                                    for ci in range(c):
+                                        blk[ry, rx, ci, sy, qy, sx, qx, ci] = wy * wx
+            row.append(blk.reshape(4 * c, 16 * c))
+        taps.append(row)
+    k = jnp.asarray(np.stack([np.stack(r) for r in taps]), skip2.dtype)
+
+    out = lax.conv_general_dilated(
+        skip2, k, (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return quad_to_s2d(out, c)
+
+
 def s2d_conv_kernel3(w):
     """[3,3,Cin,Cout] -> [3,3,4Cin,4Cout] same-pad block kernel (no input
     phase shifting needed — profiled relayouts of the pad-trick variant cost
@@ -290,41 +437,23 @@ def noise_to_s2d(noise):
 # ---------------------------------------------------------------------------
 
 
-def block_s2d(conv_up_p, conv_p, to_rgb_p, x, skip, lat_up, lat_conv,
-              lat_rgb, noise_up, noise_conv, impl=None):
-    """A full non-final block in s2d form, handing back normal-form
-    (x, skip) for the next block (two cheap depth-to-space relayouts)."""
-    cout = conv_up_p["conv"]["w"].shape[3]
-
-    out2 = up_modconv_s2d(conv_up_p["conv"], x, lat_up)
-    if noise_up is not None:
-        n2 = jnp.repeat(noise_to_s2d(noise_up.astype(out2.dtype)), cout, axis=-1)
-        out2 = out2 + conv_up_p["noise_w"].astype(out2.dtype) * n2
-    out2 = fused_act.fused_leaky_relu(
-        out2, jnp.tile(conv_up_p["act_b"], 4), impl=impl
-    )
-
-    out2 = modconv3x3_s2d(conv_p["conv"], out2, lat_conv)
-    if noise_conv is not None:
-        n2 = jnp.repeat(noise_to_s2d(noise_conv.astype(out2.dtype)), cout, axis=-1)
-        out2 = out2 + conv_p["noise_w"].astype(out2.dtype) * n2
-    out2 = fused_act.fused_leaky_relu(out2, jnp.tile(conv_p["act_b"], 4), impl=impl)
-
-    rgb2 = to_rgb_s2d(to_rgb_p, out2, lat_rgb)
-    rgb2 = rgb2 + upsample_skip_s2d(skip).astype(rgb2.dtype)
-    return depth_to_space(out2), depth_to_space(rgb2)
-
-
-def final_block_s2d(conv_up_p, conv_p, to_rgb_p, x, skip, lat_up, lat_conv,
-                    lat_rgb, noise_up, noise_conv, impl=None):
+def _block_s2d_core(conv_up_p, conv_p, to_rgb_p, x, skip, lat_up, lat_conv,
+                    lat_rgb, noise_up, noise_conv, impl=None,
+                    s2d_input=False):
     """conv_up -> noise/act -> conv -> noise/act -> to_rgb(+skip), all s2d.
 
-    x: [B, H, W, Cin] (previous resolution); skip: [B, H, W, 3].
-    noises: [B|1, 2H, 2W, 1]. Returns the 2H x 2W rgb image.
+    s2d_input=False: x [B,H,W,Cin] / skip [B,H,W,3] in NORMAL form (the
+    chain's entry block). s2d_input=True: x [B,H,W,4Cin] / skip [B,H,W,12]
+    already s2d (chained block — zero relayouts on the way in).
+    Returns (out2, rgb2) both in s2d form of the DOUBLED grid.
+    noises: [B|1, 2H', 2W', 1] at the output resolution.
     """
     cout = conv_up_p["conv"]["w"].shape[3]
 
-    out2 = up_modconv_s2d(conv_up_p["conv"], x, lat_up)
+    if s2d_input:
+        out2 = up_modconv_s2d_in(conv_up_p["conv"], x, lat_up)
+    else:
+        out2 = up_modconv_s2d(conv_up_p["conv"], x, lat_up)
     if noise_up is not None:
         n2 = jnp.repeat(noise_to_s2d(noise_up.astype(out2.dtype)), cout, axis=-1)
         out2 = out2 + conv_up_p["noise_w"].astype(out2.dtype) * n2
@@ -340,5 +469,49 @@ def final_block_s2d(conv_up_p, conv_p, to_rgb_p, x, skip, lat_up, lat_conv,
     out2 = fused_act.fused_leaky_relu(out2, jnp.tile(conv_p["act_b"], 4), impl=impl)
 
     rgb2 = to_rgb_s2d(to_rgb_p, out2, lat_rgb)
-    rgb2 = rgb2 + upsample_skip_s2d(skip).astype(rgb2.dtype)
+    up_skip = upsample_skip_s2d_in(skip) if s2d_input else upsample_skip_s2d(skip)
+    rgb2 = rgb2 + up_skip.astype(rgb2.dtype)
+    return out2, rgb2
+
+
+def block_s2d(conv_up_p, conv_p, to_rgb_p, x, skip, lat_up, lat_conv,
+              lat_rgb, noise_up, noise_conv, impl=None):
+    """A full non-final block in s2d form, handing back normal-form
+    (x, skip) for the next block (two cheap depth-to-space relayouts).
+    Superseded by chain_blocks_s2d which skips the handoff entirely."""
+    out2, rgb2 = _block_s2d_core(conv_up_p, conv_p, to_rgb_p, x, skip,
+                                 lat_up, lat_conv, lat_rgb, noise_up,
+                                 noise_conv, impl=impl)
+    return depth_to_space(out2), depth_to_space(rgb2)
+
+
+def final_block_s2d(conv_up_p, conv_p, to_rgb_p, x, skip, lat_up, lat_conv,
+                    lat_rgb, noise_up, noise_conv, impl=None):
+    """x: [B, H, W, Cin] (previous resolution); skip: [B, H, W, 3].
+    Returns the 2H x 2W rgb image."""
+    _, rgb2 = _block_s2d_core(conv_up_p, conv_p, to_rgb_p, x, skip, lat_up,
+                              lat_conv, lat_rgb, noise_up, noise_conv,
+                              impl=impl)
+    return depth_to_space(rgb2)
+
+
+def chain_blocks_s2d(blocks, x, skip, latents, noises, impl=None):
+    """Run a TRAILING run of synthesis blocks fully s2d-resident: the entry
+    block lifts normal-form (x, skip) into s2d; every later block consumes
+    and produces s2d (up_modconv_s2d_in / upsample_skip_s2d_in — NEXT.md
+    item 1); one depth-to-space at the very end.
+
+    blocks: [(conv_up_p, conv_p, to_rgb_p)] for the trailing run;
+    latents: [B, 2*len(blocks)+1, D] slice aligned to the run's first layer;
+    noises: flat list, two per block. Returns the final rgb (normal form).
+    """
+    rgb2 = None
+    for bi, (cu, cv, tr) in enumerate(blocks):
+        x, rgb2 = _block_s2d_core(
+            cu, cv, tr, x, skip,
+            latents[:, 2 * bi], latents[:, 2 * bi + 1], latents[:, 2 * bi + 2],
+            noises[2 * bi], noises[2 * bi + 1],
+            impl=impl, s2d_input=(bi > 0),
+        )
+        skip = rgb2
     return depth_to_space(rgb2)

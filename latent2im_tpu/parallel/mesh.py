@@ -36,9 +36,28 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
+def shard_batch(mesh: Mesh, batch, pad: bool = False):
     """Place a host array as a sharded device array (per-chip slices travel
-    independently; no full-batch copy on any one chip)."""
+    independently; no full-batch copy on any one chip).
+
+    The leading axis must divide the mesh; pad=True rounds it up to
+    ``pad_to_devices`` by repeating the last row (for inference sweeps over a
+    ragged final batch — callers slice the result back to the true length).
+    Training batches must divide exactly: padded rows would bias gradients.
+    """
+    n_dev = int(np.prod(mesh.devices.shape))
+    n = batch.shape[0]
+    if n % n_dev:
+        if not pad:
+            raise ValueError(
+                f"batch of {n} does not divide the {n_dev}-device mesh; "
+                "pass pad=True (inference) or size batches as a multiple "
+                "(training)"
+            )
+        m = pad_to_devices(n, n_dev)
+        batch = np.concatenate(
+            [np.asarray(batch), np.repeat(np.asarray(batch[-1:]), m - n, axis=0)]
+        )
     return jax.device_put(batch, batch_sharding(mesh))
 
 

@@ -138,22 +138,53 @@ def test_train_step_single_device(editor):
     assert not np.allclose(np.asarray(walk["w"]), w0), "walk params did not move"
 
 
-def test_train_step_multichip_mesh(editor):
-    """Data-parallel step over the virtual 8-device CPU mesh."""
+def test_train_step_multichip_matches_single_device(editor):
+    """The property that makes data parallelism CORRECT (SURVEY §5.8): the
+    8-device sharded step must produce the same loss and the same walk-param
+    update as the unsharded step on the identical global batch and key — the
+    reference's single-GPU loop semantics (train.py:48-116) are the ground
+    truth. Two steps, so optimizer-state divergence is caught too."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices (virtual CPU mesh)")
+    task = get_task("face")
+    opt = make_optimizer(1e-3)
+    z = sample_epoch_z(16, STYLE_DIM, seed=0)
+
+    def run(mesh):
+        walk = init_walk(
+            jax.random.PRNGKey(7), "linear_w", STYLE_DIM,
+            editor.cfg.n_latent, ["Smiling"],
+        )
+        state = opt.init(walk)
+        if mesh is not None:
+            walk = meshlib.replicate(mesh, walk)
+            state = meshlib.replicate(mesh, state)
+        step = make_train_step(editor, task, opt, mesh=mesh)
+        losses = []
+        for i in range(2):
+            zb = meshlib.shard_batch(mesh, z) if mesh is not None else jnp.asarray(z)
+            walk, state, metrics = step(walk, state, zb, jax.random.PRNGKey(i))
+            losses.append(float(metrics["loss"]))
+        return np.asarray(jax.device_get(walk)["w"]), losses
+
+    w_single, loss_single = run(None)
+    w_mesh, loss_mesh = run(meshlib.make_mesh(8))
+    np.testing.assert_allclose(loss_mesh, loss_single, rtol=2e-4)
+    np.testing.assert_allclose(w_mesh, w_single, rtol=1e-4, atol=1e-6)
+
+
+def test_shard_batch_uneven_pads_or_raises():
     if jax.device_count() < 8:
         pytest.skip("needs 8 devices (virtual CPU mesh)")
     mesh = meshlib.make_mesh(8)
-    task = get_task("face")
-    walk = init_walk(
-        jax.random.PRNGKey(7), "linear_w", STYLE_DIM, editor.cfg.n_latent, ["Smiling"]
-    )
-    opt = make_optimizer(1e-3)
-    state = meshlib.replicate(mesh, opt.init(walk))
-    walk = meshlib.replicate(mesh, walk)
-    step = make_train_step(editor, task, opt, mesh=mesh)
-    z = meshlib.shard_batch(mesh, sample_epoch_z(16, STYLE_DIM, seed=0))
-    walk2, state, metrics = step(walk, state, z, jax.random.PRNGKey(0))
-    assert np.isfinite(float(metrics["loss"]))
+    z = sample_epoch_z(10, STYLE_DIM, seed=1)
+    with pytest.raises(ValueError, match="does not divide"):
+        meshlib.shard_batch(mesh, z)
+    zb = meshlib.shard_batch(mesh, z, pad=True)
+    assert zb.shape[0] == meshlib.pad_to_devices(10, 8) == 16
+    got = np.asarray(jax.device_get(zb))
+    np.testing.assert_allclose(got[:10], z)
+    np.testing.assert_allclose(got[10:], np.repeat(z[-1:], 6, axis=0))
 
 
 def test_train_loop_smoke(editor):

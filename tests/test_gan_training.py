@@ -57,6 +57,63 @@ def test_gan_steps_move_params_and_stay_finite():
     assert not np.allclose(ema1, np.asarray(mod.g_params["conv1"]["conv"]["w"]))
 
 
+def test_d_loss_decreases_on_real_vs_fake():
+    """A few WGAN-GP D steps on fixed real/fake distributions must push the
+    Wasserstein D loss (mean D(fake) - mean D(real)) down."""
+    g, d, g_apply, d_apply = _setup()
+    mod = GANModule.create(g, d_params=d, lr=2e-3)
+    d_step, _ = make_gan_update_steps(g_apply, d_apply, mod.g_opt, mod.d_opt)
+
+    z = jax.random.normal(jax.random.PRNGKey(1), (8, STYLE))
+    real = jax.random.normal(jax.random.PRNGKey(2), (8, SIZE, SIZE, 3)) * 0.5
+
+    losses = []
+    for i in range(12):
+        mod.d_params, mod.d_opt_state, dm = d_step(
+            mod.d_params, mod.d_opt_state, mod.g_params, z, real,
+            jax.random.PRNGKey(100 + i),
+        )
+        losses.append(float(dm["d_loss"]))
+    assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+
+
+def test_gan_fake_path_accepts_batch_pytree():
+    """The CLI's --updateGAN feeds a pytree batch (z + walk + alpha + reg)
+    through g_apply; the update steps must be agnostic to the z argument's
+    structure."""
+    from latent2im_tpu.walks import init_walk
+
+    g, d, _, d_apply = _setup()
+    walk = init_walk(jax.random.PRNGKey(5), "linear_w", STYLE,
+                     sg2.n_latent(SIZE), ["Smiling"])
+
+    def g_apply(gp, batch):
+        w = sg2.style_forward(gp, batch["z"])
+        latent = jnp.repeat(w[:, None, :], sg2.n_latent(SIZE), axis=1)
+        from latent2im_tpu.walks import apply_walk
+
+        latent = apply_walk("linear_w", batch["walk"], latent, batch["alpha"])
+        return sg2.synthesize(gp, latent)
+
+    mod = GANModule.create(g, d_params=d, lr=1e-4)
+    d_step, g_step = make_gan_update_steps(g_apply, d_apply, mod.g_opt, mod.d_opt)
+    batch = {
+        "z": jax.random.normal(jax.random.PRNGKey(1), (2, STYLE)),
+        "walk": walk,
+        "alpha": jnp.full((2, 1), 0.5),
+    }
+    real = jax.random.normal(jax.random.PRNGKey(2), (2, SIZE, SIZE, 3)) * 0.5
+    mod.d_params, mod.d_opt_state, dm = d_step(
+        mod.d_params, mod.d_opt_state, mod.g_params, batch, real,
+        jax.random.PRNGKey(3),
+    )
+    _, _, _, gm = g_step(
+        mod.g_params, mod.g_opt_state, mod.g_running, mod.d_params, batch,
+        None, None,
+    )
+    assert np.isfinite(float(dm["d_loss"])) and np.isfinite(float(gm["g_loss"]))
+
+
 def test_gan_g_step_with_edit_target():
     g, d, g_apply, d_apply = _setup()
     mod = GANModule.create(g, d_params=d, lr=1e-4)

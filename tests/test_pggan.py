@@ -147,7 +147,6 @@ def test_pggan_generator_matches_torch_oracle():
                     "w": np.transpose(sd[f"{pre}.3.conv.weight_orig"].numpy(), (2, 3, 1, 0)),
                     "b": sd[f"{pre}.3.conv.bias"].numpy(),
                 },
-                "pads": (3, 1) if i == 0 else (1, 1),
             }
         )
         params["to_rgb"].append(
