@@ -35,6 +35,11 @@ N_EPOCH_SINGLE = 10  # train.py:34
 
 
 def run(opt, n_epoch_default: int = N_EPOCH_SINGLE, save_loss_artifacts: bool = False):
+    if opt.updateGAN and "stylegan" not in opt.model:
+        raise SystemExit(
+            "--updateGAN is implemented for the stylegan models only "
+            "(the reference's PGGAN updateGAN path is dead code)"
+        )
     output_dir = opt.output_dir
     os.makedirs(os.path.join(output_dir, "results"), exist_ok=True)
     os.makedirs(os.path.join(output_dir, "logs"), exist_ok=True)
@@ -95,11 +100,6 @@ def run(opt, n_epoch_default: int = N_EPOCH_SINGLE, save_loss_artifacts: bool = 
         # picks up the refreshed G through the live-frozen channel each
         # iteration.
         assert opt.real_data_dir, "--updateGAN needs --real_data_dir"
-        if "stylegan" not in opt.model:
-            raise SystemExit(
-                "--updateGAN is implemented for the stylegan models only "
-                "(the reference's PGGAN updateGAN path is dead code)"
-            )
         frozen_provider = _make_gan_provider(editor, opt, mesh, gan_state, task)
 
     with logmod.profile_trace(getattr(opt, "profile_dir", "")):

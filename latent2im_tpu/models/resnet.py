@@ -79,6 +79,12 @@ def batch_norm(p, x, train: bool = False, eps: float = 1e-5, momentum: float = 0
 
 
 STEM_S2D_MIN_RES = 512
+# The fully-fused 4x4-block stem+BN+relu+maxpool (_stem_pool_s2d4) measured
+# SLOWER end-to-end at 1024px (122 vs 129.5 img/s): its 3-tap phase kernel
+# carries ~2.8x nominal FLOPs, outweighing the 12->48 input-lane win. Kept
+# parity-tested for parts where the tradeoff flips; default = the 2x2-block
+# stem conv + plain pool.
+STEM_POOL_S2D4 = False
 
 
 def _stem_conv_s2d(w, x):
@@ -116,6 +122,101 @@ def _stem_conv_s2d(w, x):
         ((2, 1), (2, 1)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+
+
+def _stem_pool_s2d4(stem_p, x, train=False):
+    """Fused stem conv (7x7/2) + BN + relu + maxpool (3x3/2), entirely on a
+    4x4 space-to-depth grid — the full-res [H/2, W/2, 64] intermediate never
+    materializes (profiled: the plain stem conv alone was 5.9 ms at 1024px,
+    input C=3 starving the MXU lanes; here the conv runs 48-in/256-out).
+
+    Derivation (1-D): input o = 4b + r (blocks b on the quarter grid, phase
+    r in [0,4)); stem output m = 2p + s on the half grid: stem[m] =
+    sum_d K[d] x[2m+d-3] gives tap d = 4(b-p) + r - 2s + 3, b-p in
+    {-1,0,1} — a 3-tap conv over the quarter grid emitting 2 phases (s) per
+    axis as channels. maxpool out[n] = max(stem[2n-1], stem[2n], stem[2n+1])
+    = max(s1[n-1], s0[n], s1[n]) — shifted maxes on the phase channels, so
+    the pooled result lands directly on the quarter grid in normal form.
+
+    Returns (pooled [B, H/4, W/4, 64], bn_stats|None).
+    """
+    b, h, wd, c = x.shape
+    x4 = (
+        x.reshape(b, h // 4, 4, wd // 4, 4, c)
+        .transpose(0, 1, 3, 2, 4, 5)
+        .reshape(b, h // 4, wd // 4, 16 * c)
+    )
+    w = stem_p["w"]
+    cin, cout = w.shape[2], w.shape[3]
+    wz = jnp.concatenate([w, jnp.zeros((1, 7, cin, cout), w.dtype)], axis=0)
+    wz = jnp.concatenate([wz, jnp.zeros((8, 1, cin, cout), wz.dtype)], axis=1)
+
+    def axis_idx():
+        """[3(idx), 4(r), 2(s)] -> tap d (7 = zero plane)."""
+        import numpy as np
+
+        out = np.full((3, 4, 2), 7, np.int32)
+        for idx in range(3):
+            for r in range(4):
+                for s in range(2):
+                    d = 4 * (idx - 1) + r - 2 * s + 3
+                    if 0 <= d <= 6:
+                        out[idx, r, s] = d
+        return out
+
+    import numpy as np
+
+    ai = axis_idx()
+    iy = ai[:, None, :, None, :, None]
+    ix = ai[None, :, None, :, None, :]
+    iy, ix = np.broadcast_arrays(iy, ix)  # [3,3,4,4,2,2] (idxy,idxx,ry,rx,sy,sx)
+    k = wz[jnp.asarray(iy), jnp.asarray(ix)]  # [3,3,4,4,2,2,cin,cout]
+    # -> [idx_y, idx_x, (ry, rx, ci), (sy, sx, co)]
+    k = k.transpose(0, 1, 2, 3, 6, 4, 5, 7).reshape(3, 3, 16 * cin, 4 * cout)
+
+    out4 = lax.conv_general_dilated(
+        x4, k.astype(x4.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )  # [B, H/4, W/4, (sy, sx, co)]
+
+    # BN (+stats over all phase positions) and relu in the phase domain
+    if train:
+        ph = out4.reshape(b, h // 4, wd // 4, 4, cout)
+        mean = jnp.mean(ph, axis=(0, 1, 2, 3))
+        var = jnp.var(ph, axis=(0, 1, 2, 3))
+        n = b * (h // 4) * (wd // 4) * 4
+        stats = {
+            "mean": (1 - 0.1) * stem_p["mean"] + 0.1 * mean,
+            "var": (1 - 0.1) * stem_p["var"] + 0.1 * var * n / max(n - 1, 1),
+        }
+        inv = lax.rsqrt(var + 1e-5)
+        mu = mean
+    else:
+        stats = None
+        inv = lax.rsqrt(stem_p["var"] + 1e-5)
+        mu = stem_p["mean"]
+    scale = jnp.tile(inv * stem_p["gamma"], 4).astype(out4.dtype)
+    shift = jnp.tile(stem_p["beta"] - mu * inv * stem_p["gamma"], 4).astype(
+        out4.dtype
+    )
+    out4 = jax.nn.relu(out4 * scale + shift)
+
+    # maxpool 3x3/2 as shifted maxes over the phase channels (separable)
+    neg = jnp.asarray(-jnp.inf, out4.dtype)
+
+    def pool_axis(a, axis, phase_axis):
+        s0 = lax.index_in_dim(a, 0, axis=phase_axis, keepdims=False)
+        s1 = lax.index_in_dim(a, 1, axis=phase_axis, keepdims=False)
+        pad = [(0, 0)] * s1.ndim
+        pad[axis] = (1, 0)
+        sl = [slice(None)] * s1.ndim
+        sl[axis] = slice(0, s1.shape[axis])
+        s1_prev = jnp.pad(s1, pad, constant_values=neg)[tuple(sl)]
+        return jnp.maximum(jnp.maximum(s1_prev, s0), s1)
+
+    ph = out4.reshape(b, h // 4, wd // 4, 2, 2, cout)
+    t = pool_axis(ph, axis=1, phase_axis=3)   # [B, H/4, W/4, 2(sx), cout]
+    return pool_axis(t, axis=2, phase_axis=3), stats
 
 
 def max_pool(x, window=3, stride=2, padding=1):
@@ -207,13 +308,17 @@ def init_resnet50(key, num_outputs: int = 40) -> Params:
 def resnet50_forward(params: Params, x, train: bool = False, dtype=jnp.float32):
     """x: [B,H,W,3] -> [B, num_outputs]. Returns (logits, bn_stats|None)."""
     x = x.astype(dtype)
-    if x.shape[1] >= STEM_S2D_MIN_RES and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
-        out = _stem_conv_s2d(params["stem"]["w"], x)
+    big = x.shape[1] >= STEM_S2D_MIN_RES
+    if STEM_POOL_S2D4 and big and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
+        out, stem_stats = _stem_pool_s2d4(params["stem"], x, train)
     else:
-        out = conv2d(params["stem"]["w"], x, stride=2, padding=3)
-    out, stem_stats = batch_norm(params["stem"], out, train)
-    out = jax.nn.relu(out)
-    out = max_pool(out)
+        if big and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+            out = _stem_conv_s2d(params["stem"]["w"], x)
+        else:
+            out = conv2d(params["stem"]["w"], x, stride=2, padding=3)
+        out, stem_stats = batch_norm(params["stem"], out, train)
+        out = jax.nn.relu(out)
+        out = max_pool(out)
     all_stats = {"stem": stem_stats, "layers": []}
     for li, blocks in enumerate(params["layers"]):
         layer_stats = []

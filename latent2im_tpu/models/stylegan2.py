@@ -53,6 +53,9 @@ def channel_table(channel_multiplier: int = 2) -> dict[int, int]:
 
 
 BLUR_KERNEL = (1, 3, 3, 1)
+# skip-RGB x2 upsample switches from depthwise upfirdn to the polyphase shift
+# form at/above this resolution (see to_rgb)
+SKIP_SHIFT_MIN_RES = 128
 
 
 # ---------------------------------------------------------------------------
@@ -325,8 +328,16 @@ def to_rgb(p, x, style, skip=None, impl=None):
     out = modulated_conv2d(p["conv"], x, style, demodulate=False, impl=impl)
     out = out + p["b"].astype(out.dtype)
     if skip is not None:
-        blur = ufd.make_kernel(list(BLUR_KERNEL))
-        skip = ufd.upsample2d(skip, blur, impl=impl)
+        if impl is None and skip.shape[1] >= SKIP_SHIFT_MIN_RES:
+            # 3-channel depthwise upfirdn fills 2% of the MXU lanes and XLA
+            # picks a transposed layout for it (profiled 2.2 ms each at
+            # 512px); the polyphase shift form is pure VPU elementwise.
+            from . import stylegan2_fast as fast
+
+            skip = fast.depth_to_space(fast.upsample_skip_s2d(skip))
+        else:
+            blur = ufd.make_kernel(list(BLUR_KERNEL))
+            skip = ufd.upsample2d(skip, blur, impl=impl)
         out = out + skip
     return out
 

@@ -80,3 +80,55 @@ def test_bp_cli_flow(tmp_path):
     assert os.path.isfile(os.path.join(save_dir, "latent", "0_w.npy"))
     w = np.load(os.path.join(save_dir, "latent", "0_w.npy"))
     assert w.shape[0] == 2 and w.shape[1] == 8  # n_latent(32)
+
+
+@pytest.mark.slow
+def test_train_update_gan_flow(tmp_path):
+    """--updateGAN end to end on tiny shapes: WGAN-GP D/G refinement on real
+    images from --real_data_dir, fakes are the walk-edited outputs, and the
+    fine-tuned GAN checkpoint is written."""
+    import PIL.Image
+
+    from latent2im_tpu.cli.train import run as train_run
+    from latent2im_tpu.config.options import TrainOptions
+
+    real_dir = tmp_path / "real"
+    real_dir.mkdir()
+    for i in range(4):
+        arr = np.random.RandomState(i).randint(0, 255, (32, 32, 3), np.uint8)
+        PIL.Image.fromarray(arr).save(real_dir / f"r{i}.png")
+
+    models_dir = str(tmp_path / "models")
+    opt = TrainOptions().parse(
+        [
+            "--model", "stylegan_v2_real", "--transform", "face",
+            "--num_samples", "4", "--learning_rate", "1e-3",
+            "--walk_type", "linear", "--loss", "l2", "--attrList", "Smiling",
+            "--attrPath", "/root/repo/dataset/attributes_celeba.txt",
+            "--models_dir", models_dir, "--overwrite_config",
+            "--dev_tiny", "--resolution", "32", "--n_epochs", "1",
+            "--model_save_freq", "0", "--batch_size", "2", "--n_devices", "1",
+            "--updateGAN", "--real_data_dir", str(real_dir),
+        ],
+        print_opt=False,
+    )
+    walk, history = train_run(opt)
+    assert all(np.isfinite(h) for h in history)
+    gan_ckpt = os.path.join(opt.output_dir, "model_gan_1_final.ckpt")
+    assert os.path.isfile(gan_ckpt)
+
+
+def test_update_gan_rejects_pggan(tmp_path):
+    from latent2im_tpu.cli.train import run as train_run
+    from latent2im_tpu.config.options import TrainOptions
+
+    opt = TrainOptions().parse(
+        ["--model", "pggan", "--transform", "scene",
+         "--attrPath", "/root/repo/dataset/attributes_scene.txt",
+         "--models_dir", str(tmp_path / "m"), "--overwrite_config",
+         "--num_samples", "4", "--batch_size", "2", "--n_epochs", "1",
+         "--updateGAN", "--real_data_dir", str(tmp_path)],
+        print_opt=False,
+    )
+    with pytest.raises(SystemExit, match="stylegan"):
+        train_run(opt)

@@ -153,3 +153,20 @@ def test_modconv3x3_s2d_split_matches():
         fast.modconv3x3_s2d_split(p, sg2._space_to_depth(x), style)
     )
     assert_close(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_to_rgb_skip_shift_branch_matches_upfirdn():
+    """to_rgb's high-res skip upsample (shift form) == the depthwise upfirdn
+    it replaces (SKIP_SHIFT_MIN_RES gate)."""
+    key = jax.random.PRNGKey(60)
+    r = sg2.SKIP_SHIFT_MIN_RES  # the gate checks the upsample INPUT res
+    p = sg2.init_to_rgb(key, 8, 32)
+    x = jax.random.normal(jax.random.PRNGKey(61), (1, 2 * r, 2 * r, 8))
+    style = jax.random.normal(jax.random.PRNGKey(62), (1, 32))
+    skip = jax.random.normal(jax.random.PRNGKey(63), (1, r, r, 3))
+    got = sg2.to_rgb(p, x, style, skip)            # shift branch (impl=None)
+    base = sg2.modulated_conv2d(p["conv"], x, style, demodulate=False)
+    base = base + p["b"]
+    k = ufd.make_kernel(list(sg2.BLUR_KERNEL))
+    want = base + ufd.upsample2d(skip, k)
+    assert_close(got, want, rtol=2e-4, atol=2e-4)

@@ -65,3 +65,49 @@ def test_resnet_stem_s2d_matches_direct():
     got = rn._stem_conv_s2d(w, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_stem_pool_s2d4_matches_plain_path():
+    """Fused stem+BN+relu+maxpool on the 4x4 block grid vs the plain
+    sequence (resnet._stem_pool_s2d4)."""
+    from latent2im_tpu.models import resnet as rn
+
+    rng = np.random.RandomState(3)
+    key = jax.random.PRNGKey(0)
+    stem = rn.init_conv_bn(key, 7, 7, 3, 16)
+    stem["mean"] = jnp.asarray(rng.randn(16).astype(np.float32) * 0.1)
+    stem["var"] = jnp.asarray(rng.rand(16).astype(np.float32) + 0.5)
+    stem["gamma"] = jnp.asarray(rng.rand(16).astype(np.float32) + 0.5)
+    stem["beta"] = jnp.asarray(rng.randn(16).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.randn(2, 32, 24, 3).astype(np.float32))
+
+    want = rn.conv2d(stem["w"], x, stride=2, padding=3)
+    want, _ = rn.batch_norm(stem, want)
+    want = rn.max_pool(jax.nn.relu(want))
+
+    got, stats = rn._stem_pool_s2d4(stem, x)
+    assert stats is None
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_stem_pool_s2d4_train_stats_match():
+    from latent2im_tpu.models import resnet as rn
+
+    rng = np.random.RandomState(4)
+    stem = rn.init_conv_bn(jax.random.PRNGKey(1), 7, 7, 3, 8)
+    x = jnp.asarray(rng.randn(2, 16, 16, 3).astype(np.float32))
+
+    pre = rn.conv2d(stem["w"], x, stride=2, padding=3)
+    want, want_stats = rn.batch_norm(stem, pre, train=True)
+    want = rn.max_pool(jax.nn.relu(want))
+
+    got, stats = rn._stem_pool_s2d4(stem, x, train=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(stats["mean"]),
+                               np.asarray(want_stats["mean"]), rtol=2e-4,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(stats["var"]),
+                               np.asarray(want_stats["var"]), rtol=2e-4,
+                               atol=2e-5)
