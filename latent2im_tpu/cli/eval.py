@@ -42,6 +42,14 @@ def run(opt, conf):
         walk_params, _, _ = ckpt.load_walk(opt.save_path_w, walk_params,
                                            attr_list=info["attr_list"])
         print(f"Load w in {opt.save_path_w}")
+    if getattr(opt, "save_path_gan", None):
+        g_new, d_new = ckpt.load_gan_checkpoint(opt.save_path_gan,
+                                                editor.g_params,
+                                                editor.d_params)
+        editor.g_params = g_new
+        if d_new is not None:
+            editor.d_params = d_new
+        print(f"Load GAN in {opt.save_path_gan}")
 
     ref_parity = bool(getattr(opt, "ref_parity", False))
     facenet_path = getattr(opt, "facenet_path", "")

@@ -44,13 +44,38 @@ def run(opt, conf):
         walk_params, _, meta = ckpt.load_walk(opt.save_path_w, walk_params,
                                               attr_list=info["attr_list"])
         print(f"Load w in {opt.save_path_w} ({(meta or {}).get('source', 'native')})")
+    if getattr(opt, "save_path_gan", None):
+        # fine-tuned GAN from an --updateGAN run (reference vis_w.py loads it
+        # via load_multi_models when updateGAN)
+        g_new, d_new = ckpt.load_gan_checkpoint(opt.save_path_gan,
+                                                editor.g_params,
+                                                editor.d_params)
+        editor.g_params = g_new
+        if d_new is not None:
+            editor.d_params = d_new
+        print(f"Load GAN in {opt.save_path_gan}")
 
     from ..tasks.transforms import get_task
 
     task = get_task(conf.transform, walk_type=conf.walk_type,
                     nsliders=len(info["attr_list"]))
-    zs = sample_epoch_z(opt.num_samples, editor.cfg.dim_z, seed=opt.noise_seed)
     alphas = np.linspace(opt.min_alpha, opt.max_alpha, opt.num_panels)
+
+    # Real-image editing: --latents_dir consumes the W+ latents BP.py-style
+    # inversion writes ({i}_w.npy) and sweeps those instead of sampled z
+    # (the invert -> edit flow the reference leaves to manual glue,
+    # transform_base.py:561-564 given_w).
+    latents = None
+    latents_dir = getattr(opt, "latents_dir", "")
+    if latents_dir:
+        import glob as globmod
+
+        files = sorted(globmod.glob(os.path.join(latents_dir, "*_w.npy")))
+        assert files, f"no *_w.npy under {latents_dir}"
+        latents = np.concatenate([np.load(f) for f in files]).astype(np.float32)
+        opt.num_samples = len(latents)
+        print(f"editing {len(latents)} inverted latents from {latents_dir}")
+    zs = sample_epoch_z(opt.num_samples, editor.cfg.dim_z, seed=opt.noise_seed)
 
     combine = getattr(opt, "combine_indices", "")
     if combine:
@@ -76,11 +101,16 @@ def run(opt, conf):
 
     for batch_start in range(0, opt.num_samples, BATCH):
         z = zs[batch_start : batch_start + BATCH]
+        gw = None
+        if latents is not None:
+            import jax.numpy as jnp
+
+            gw = jnp.asarray(latents[batch_start : batch_start + BATCH])
         # panel slider matrix [P, B, A] (scale_test_alpha_for_graph semantics)
         panels = np.stack(
             [task.scale_test_alpha(a, z.shape[0]) for a in alphas]
         ).astype(np.float32)
-        imgs, alpha_org, orig = editor.sweep(walk_params, z, panels)
+        imgs, alpha_org, orig = editor.sweep(walk_params, z, panels, given_w=gw)
         imgs = imgmod.to_uint8(imgs)  # [P, B, H, W, 3]
         alpha_org = np.asarray(alpha_org)
 

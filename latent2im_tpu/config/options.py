@@ -56,6 +56,10 @@ def _build_train_parser() -> argparse.ArgumentParser:
     parser.add_argument("--no_content_loss", action="store_true")
     parser.add_argument("--no_gan_loss", action="store_true")
     # TPU-native additions
+    parser.add_argument("--reg_input_size", type=int, default=None,
+                        help="bilinear-resize images to this size before "
+                             "regression (e.g. 256 = the regressor's trained "
+                             "resolution); default: feed generator resolution")
     parser.add_argument("--fixed_noise", action="store_true",
                         help="use the stored noise buffers during training "
                              "instead of fresh per-step noise "
@@ -232,6 +236,9 @@ class VisOptions:
         p.add_argument("--attrPath", type=str, default="")
         p.add_argument("--num_samples", type=int, default=8)
         p.add_argument("--num_panels", type=int, default=7)
+        p.add_argument("--latents_dir", type=str, default="",
+                       help="directory of inverted W+ latents (*_w.npy from "
+                            "cli.bp) to edit instead of sampled z")
         p.add_argument("--max_alpha", type=float, default=1.0)
         p.add_argument("--min_alpha", type=float, default=0.0)
         p.add_argument("--combine_indices", type=str, default="",

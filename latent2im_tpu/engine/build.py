@@ -188,6 +188,7 @@ def build_editor_from_options(opt, seed: int = 0):
         no_gan_loss=opt.no_gan_loss,
         stable_bce=getattr(opt, "stable_bce", False),
         fixed_noise=getattr(opt, "fixed_noise", False),
+        reg_input_size=getattr(opt, "reg_input_size", None),
         compute_dtype=jnp.bfloat16 if getattr(opt, "bf16", False) else jnp.float32,
         kernel_impl=getattr(opt, "kernel_impl", None),
     )

@@ -50,6 +50,12 @@ class EditorConfig:
     no_gan_loss: bool = False
     stable_bce: bool = False
     fixed_noise: bool = False  # True = stored noise buffers during training
+    # Bilinear-resize images to this size before regression (None = feed the
+    # generator resolution, the reference's behavior). The CelebA/scene
+    # regressors are trained at 256 (scene_regressor_256.py); feeding a
+    # 1024px G's output at its trained resolution is statistically truer AND
+    # ~16x cheaper — opt-in because it changes reported attribute scores.
+    reg_input_size: int | None = None
     compute_dtype: Any = jnp.float32
     kernel_impl: str | None = None  # None|'xla'|'pallas' for ops dispatch
 
@@ -159,12 +165,18 @@ class Editor:
             dtype=cfg.compute_dtype
         )
 
+    def _reg_input(self, img):
+        s = self.cfg.reg_input_size
+        if s and img.shape[1] != s:
+            img = _bilinear_resize(img, s, s)
+        return img
+
     def regress(self, img):
         """image -> scores at the configured attribute indices [B, A]."""
         from ..models import resnet as rn
 
         preds, _ = rn.resnet50_forward(
-            self.reg_params, img, dtype=self.cfg.compute_dtype
+            self.reg_params, self._reg_input(img), dtype=self.cfg.compute_dtype
         )
         return preds[:, jnp.asarray(self.cfg.attr_idx)]
 
@@ -172,7 +184,7 @@ class Editor:
         from ..models import resnet as rn
 
         preds, _ = rn.resnet50_forward(
-            self.reg_params, img, dtype=self.cfg.compute_dtype
+            self.reg_params, self._reg_input(img), dtype=self.cfg.compute_dtype
         )
         return preds
 

@@ -100,6 +100,57 @@ def _looks_like_torch(path: str) -> bool:
     return head.startswith(b"PK") or head.startswith(b"\x80")
 
 
+def load_gan_checkpoint(path: str, g_like, d_like=None):
+    """Load a fine-tuned GAN checkpoint -> (g_params, d_params|None).
+
+    Accepts this framework's ``model_gan_{n}_final.ckpt`` msgpack pytree
+    {"g", "g_running", "d"} written by the --updateGAN trainer (prefers the
+    EMA ``g_running``, the standard eval choice), or a torch ``.pt`` with
+    ``g_ema``/``d`` state dicts (converted on load). The reference's
+    save_path_gan surface (vis_w.py --save_path_gan -> load_multi_models,
+    transform_base.py:501-509).
+    """
+    if _looks_like_torch(path):
+        import torch
+
+        from .torch_convert import (
+            convert_stylegan2_discriminator,
+            convert_stylegan2_generator,
+        )
+
+        ckpt_t = torch.load(path, map_location="cpu", weights_only=False)
+        sd = ckpt_t.get("g_ema", ckpt_t.get("g", ckpt_t))
+        import math
+
+        # infer size from the number of to_rgbs keys
+        n_rgb = len({k.split(".")[1] for k in sd if k.startswith("to_rgbs.")})
+        size = 4 * 2 ** n_rgb
+        g = convert_stylegan2_generator(sd, size)
+        d = None
+        if "d" in ckpt_t:
+            d = convert_stylegan2_discriminator(ckpt_t["d"], size)
+        return g, d
+    with open(path, "rb") as f:
+        tree = serialization.msgpack_restore(f.read())  # structure-free load
+    tree = _relistify(tree)
+    g = tree.get("g_running", tree.get("g"))
+    return g, tree.get("d")
+
+
+def _relistify(tree):
+    """msgpack_restore returns Python lists as {'0': ..., '1': ...} dicts;
+    convert those back to lists recursively."""
+    if isinstance(tree, dict):
+        conv = {k: _relistify(v) for k, v in tree.items()}
+        keys = list(conv)
+        if keys and all(k.isdigit() for k in keys):
+            idx = sorted(int(k) for k in keys)
+            if idx == list(range(len(idx))):
+                return [conv[str(i)] for i in idx]
+        return conv
+    return tree
+
+
 def merge_walk_banks(base_walk: dict, singles: list[tuple[str, dict]],
                      attr_list: list[str]) -> dict:
     """Merge single-attribute linear-walk checkpoints into one direction bank

@@ -132,3 +132,48 @@ def test_update_gan_rejects_pggan(tmp_path):
     )
     with pytest.raises(SystemExit, match="stylegan"):
         train_run(opt)
+
+
+@pytest.mark.slow
+def test_vis_latents_dir_real_image_flow(tmp_path):
+    """invert (BP) -> edit (vis_w --latents_dir): the full real-image editing
+    flow the reference leaves to manual glue."""
+    import PIL.Image
+
+    from latent2im_tpu.cli.bp import main as bp_main
+    from latent2im_tpu.cli.train import run as train_run
+    from latent2im_tpu.cli.vis_w import run as vis_run
+    from latent2im_tpu.config.options import TrainOptions, VisOptions
+
+    opt = TrainOptions().parse(
+        ["--transform", "face", "--attrList", "Smiling",
+         "--attrPath", "/root/repo/dataset/attributes_celeba.txt",
+         "--models_dir", str(tmp_path / "m"), "--overwrite_config",
+         "--num_samples", "4", "--batch_size", "2", "--n_epochs", "1",
+         "--dev_tiny", "--resolution", "32", "--model_save_freq", "0",
+         "--n_devices", "1"],
+        print_opt=True,
+    )
+    train_run(opt)
+    run_dir = opt.output_dir
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(2):
+        arr = np.random.RandomState(i).randint(0, 255, (32, 32, 3), np.uint8)
+        PIL.Image.fromarray(arr).save(img_dir / f"f{i}.png")
+    bp_dir = str(tmp_path / "bp")
+    bp_main(["--img_dir", str(img_dir), "--save_dir", bp_dir,
+             "--resolution", "32", "--n_loops", "3", "--show_freq", "3",
+             "--dev_tiny", "--batch_size", "2"])
+
+    vo = VisOptions()
+    vopt, conf = vo.parse(
+        [os.path.join(run_dir, "opt.yml"),
+         "--save_path_w", os.path.join(run_dir, "model_w_1_final_walk_module.ckpt"),
+         "--latents_dir", os.path.join(bp_dir, "latent"),
+         "--output_dir", str(tmp_path / "vis"), "--num_panels", "3"]
+    )
+    out_dir = vis_run(vopt, conf)
+    pngs = [f for f in os.listdir(out_dir) if f.endswith(".png")]
+    assert len(pngs) == 2  # one panel grid per inverted image

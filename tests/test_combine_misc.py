@@ -97,3 +97,59 @@ def test_checkpoint_roundtrip_and_resume(tmp_path):
     np.testing.assert_allclose(np.asarray(w2["w"]), np.asarray(walk["w"]))
     assert meta["epoch"] == 3
     assert st2 is not None
+
+
+def test_save_path_gan_roundtrip(tmp_path):
+    """The --updateGAN fine-tuned GAN checkpoint loads back (structure-free
+    msgpack restore, lists re-materialized) and prefers the EMA g_running."""
+    import jax
+
+    from latent2im_tpu.io import checkpoint as ckpt
+    from latent2im_tpu.models import stylegan2 as sg2
+
+    tiny = {4: 8, 8: 8, 16: 8}
+    kg, kd = jax.random.split(jax.random.PRNGKey(0))
+    g = sg2.init_generator(kg, 16, style_dim=16, n_mlp=2, channels=tiny)
+    d = sg2.init_discriminator(kd, 16, channels=tiny)
+    g_run = jax.tree_util.tree_map(lambda x: x * 0.5, g)
+    path = str(tmp_path / "model_gan_1_final.ckpt")
+    ckpt.save_pytree(path, {"g": g, "g_running": g_run, "d": d})
+
+    g2, d2 = ckpt.load_gan_checkpoint(path, g, d)
+    assert isinstance(g2["convs"], list) and isinstance(g2["style"], list)
+    np.testing.assert_allclose(
+        np.asarray(g2["conv1"]["conv"]["w"]),
+        np.asarray(g_run["conv1"]["conv"]["w"]),
+    )
+    assert d2 is not None
+    # the restored tree must run through the generator
+    img = sg2.generator_forward(g2, jax.random.normal(jax.random.PRNGKey(1), (1, 16)))
+    assert img.shape == (1, 16, 16, 3)
+
+
+def test_reg_input_size_resizes_before_regression():
+    import dataclasses
+
+    import jax
+
+    from latent2im_tpu.engine.editor import Editor, EditorConfig, _bilinear_resize
+    from latent2im_tpu.models import resnet as rn
+    from latent2im_tpu.models import stylegan2 as sg2
+
+    tiny = {4: 8, 8: 8, 16: 8, 32: 8}
+    kg, kr = jax.random.split(jax.random.PRNGKey(0))
+    g = sg2.init_generator(kg, 32, style_dim=16, n_mlp=2, channels=tiny)
+    reg = rn.init_resnet50(kr, num_outputs=4)
+    cfg = EditorConfig(attr_list=("A",), attr_idx=(0,), size=32, dim_z=16,
+                       reg_input_size=16)
+    ed = Editor(cfg, g, reg_params=reg)
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    got = ed.regress_all(img)
+    ed_plain = Editor(dataclasses.replace(cfg, reg_input_size=None), g,
+                      reg_params=reg)
+    want = ed_plain.regress_all(_bilinear_resize(img, 16, 16))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)
+    # and a no-op when sizes already match
+    same = ed_plain.regress_all(img)
+    assert same.shape == (2, 4)

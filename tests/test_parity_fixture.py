@@ -16,6 +16,7 @@ import pytest
 
 import jax.numpy as jnp
 
+from helpers import assert_images_close
 from latent2im_tpu.models import stylegan2 as sg2
 
 FIXDIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures")
@@ -31,9 +32,7 @@ def test_converted_generator_reproduces_torch_recording():
     params = tc.convert_stylegan2_generator(sd, size=32)
     ref = np.load(NPZ_PATH)
     got = sg2.generator_forward(params, jnp.asarray(ref["z"]))
-    np.testing.assert_allclose(
-        np.asarray(got), ref["images"], rtol=2e-3, atol=2e-3
-    )
+    assert_images_close(got, ref["images"])
 
 
 def test_parity_check_cli_compare_against_fixture(tmp_path):
@@ -44,6 +43,10 @@ def test_parity_check_cli_compare_against_fixture(tmp_path):
         "compare", "--ref", NPZ_PATH, "--g_path", G_PATH,
         "--resolution", "32", "--n", "8", "--seed", "0",
     ])
-    assert report["max_abs_pixel_diff"] < 5e-3
-    assert report["psnr_db"] > 55.0
-    assert report["vgg_feature_distance"] < 1e-4
+    from helpers import ON_CPU
+
+    # TPU f32 convs run as bf16x3 passes — looser absolute gates there
+    pix, psnr, vggd = (5e-3, 55.0, 1e-4) if ON_CPU else (5e-2, 35.0, 1e-2)
+    assert report["max_abs_pixel_diff"] < pix
+    assert report["psnr_db"] > psnr
+    assert report["vgg_feature_distance"] < vggd

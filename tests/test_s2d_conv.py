@@ -87,8 +87,8 @@ def test_stem_pool_s2d4_matches_plain_path():
 
     got, stats = rn._stem_pool_s2d4(stem, x)
     assert stats is None
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4,
-                               atol=2e-4)
+    from helpers import assert_close
+    assert_close(got, want, rtol=2e-4, atol=2e-4)
 
 
 def test_stem_pool_s2d4_train_stats_match():
@@ -103,11 +103,9 @@ def test_stem_pool_s2d4_train_stats_match():
     want = rn.max_pool(jax.nn.relu(want))
 
     got, stats = rn._stem_pool_s2d4(stem, x, train=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4,
-                               atol=2e-4)
-    np.testing.assert_allclose(np.asarray(stats["mean"]),
-                               np.asarray(want_stats["mean"]), rtol=2e-4,
-                               atol=2e-5)
-    np.testing.assert_allclose(np.asarray(stats["var"]),
-                               np.asarray(want_stats["var"]), rtol=2e-4,
-                               atol=2e-5)
+    from helpers import assert_close
+    assert_close(got, want, rtol=2e-4, atol=2e-4)
+    assert_close(stats["mean"], want_stats["mean"], rtol=2e-4, atol=2e-5,
+                 tpu_rtol=2e-3, tpu_atol=2e-3)
+    assert_close(stats["var"], want_stats["var"], rtol=2e-4, atol=2e-5,
+                 tpu_rtol=2e-3, tpu_atol=2e-3)

@@ -27,7 +27,7 @@ torch = pytest.importorskip("torch")
 import torch.nn as nn  # noqa: E402
 import torch.nn.functional as F  # noqa: E402
 
-from helpers import assert_close  # noqa: E402
+from helpers import assert_close, assert_images_close  # noqa: E402
 from latent2im_tpu.io import torch_convert as tc  # noqa: E402
 from latent2im_tpu.models import stylegan2 as sg2  # noqa: E402
 
@@ -244,8 +244,7 @@ def test_generator_value_parity_fixed_buffers():
     with torch.no_grad():
         want = tg(torch.from_numpy(z), noise_t).numpy()
     got = sg2.generator_forward(params, jnp.asarray(z))  # default: stored buffers
-    assert_close(np.transpose(np.asarray(got), (0, 3, 1, 2)), want,
-                 rtol=2e-3, atol=2e-3)
+    assert_images_close(np.transpose(np.asarray(got), (0, 3, 1, 2)), want)
 
 
 def test_generator_value_parity_injected_noise():
@@ -260,8 +259,7 @@ def test_generator_value_parity_injected_noise():
                   [torch.from_numpy(n) for n in noise_np]).numpy()
     noise_j = [jnp.asarray(np.transpose(n, (0, 2, 3, 1))) for n in noise_np]
     got = sg2.generator_forward(params, jnp.asarray(z), noise=noise_j)
-    assert_close(np.transpose(np.asarray(got), (0, 3, 1, 2)), want,
-                 rtol=2e-3, atol=2e-3)
+    assert_images_close(np.transpose(np.asarray(got), (0, 3, 1, 2)), want)
 
 
 def test_wplus_latent_and_walk_shift_parity():
@@ -291,8 +289,7 @@ def test_wplus_latent_and_walk_shift_parity():
     w_j = sg2.style_forward(params, jnp.asarray(z))
     latent_j = jnp.repeat(w_j[:, None, :], tg.n_latent, axis=1) + jnp.asarray(shift)
     got = sg2.synthesize(params, latent_j)
-    assert_close(np.transpose(np.asarray(got), (0, 3, 1, 2)), want,
-                 rtol=2e-3, atol=2e-3)
+    assert_images_close(np.transpose(np.asarray(got), (0, 3, 1, 2)), want)
 
 
 # ---------------------------------------------------------------------------

@@ -107,3 +107,64 @@ def test_walk_grads_flow():
 
     g = jax.grad(loss)(p)
     assert float(jnp.sum(jnp.abs(g["w"]))) > 0
+
+
+def test_convert_walk_mlp_multi_z_matches_torch_layout():
+    """WalkMlpMultiZ checkpoint conversion onto the mlp_z layout: applying
+    the converted params must reproduce the reference forward math
+    (embed one-hot -> concat z -> MLP -> normalized delta * alpha)."""
+    import numpy as np
+
+    from latent2im_tpu.io import torch_convert as tc
+    from latent2im_tpu.walks.walks import apply_mlp_z
+
+    rng = np.random.RandomState(0)
+    D = 16
+    state = {"embed.weight": rng.randn(D, 10).astype(np.float32),
+             "embed.bias": rng.randn(D).astype(np.float32)}
+    dims = [(2 * D, D), (D, D), (D, D)]
+    for i, (fi, fo) in zip((0, 2, 4), dims):
+        state[f"linear.{i}.weight"] = rng.randn(fo, fi).astype(np.float32)
+        state[f"linear.{i}.bias"] = rng.randn(fo).astype(np.float32)
+    params = tc.convert_walk_state("WalkMlpMultiZ", state, ["Smiling"])
+
+    z = rng.randn(3, D).astype(np.float32)
+    alpha = np.full((3, 1), 0.7, np.float32)
+
+    # reference math (transform_base.py:86-111), numpy
+    direction = np.zeros((3, 10), np.float32); direction[:, 0] = 1
+    emb = direction @ state["embed.weight"].T + state["embed.bias"]
+    h = np.concatenate([emb, z], axis=1)
+    for i in (0, 2, 4):
+        h = h @ state[f"linear.{i}.weight"].T + state[f"linear.{i}.bias"]
+        if i < 4:
+            h = np.where(h > 0, h, 0.2 * h)
+    want = z + alpha * h / np.linalg.norm(h, axis=1, keepdims=True)
+
+    got = apply_mlp_z(params, jnp.asarray(z), jnp.asarray(alpha))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_convert_walk_linear_bank():
+    """WalkLinear (stylegan z direction bank) -> linear_z_dir layout."""
+    import numpy as np
+
+    from latent2im_tpu.io import torch_convert as tc
+    from latent2im_tpu.walks.walks import apply_linear_z_dir
+
+    rng = np.random.RandomState(1)
+    state = {"w.Smiling": rng.randn(1, 8, 1).astype(np.float32),
+             "w.Young": rng.randn(1, 8, 1).astype(np.float32)}
+    params = tc.convert_walk_state("WalkLinear", state, ["Smiling", "Young"])
+    assert params["w"].shape == (2, 8)
+
+    z = rng.randn(2, 8).astype(np.float32)
+    alpha = rng.rand(2, 2).astype(np.float32)
+    got = apply_linear_z_dir(params, jnp.asarray(z), jnp.asarray(alpha))
+    want = z + alpha @ np.stack([state["w.Smiling"][0, :, 0],
+                                 state["w.Young"][0, :, 0]])
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+    # names derived from keys when attr_list is empty
+    p2 = tc.convert_walk_state("WalkLinear", state, [])
+    assert p2["w"].shape == (2, 8)
