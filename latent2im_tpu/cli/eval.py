@@ -43,9 +43,7 @@ def run(opt, conf):
                                            attr_list=info["attr_list"])
         print(f"Load w in {opt.save_path_w}")
     if getattr(opt, "save_path_gan", None):
-        g_new, d_new = ckpt.load_gan_checkpoint(opt.save_path_gan,
-                                                editor.g_params,
-                                                editor.d_params)
+        g_new, d_new = ckpt.load_gan_checkpoint(opt.save_path_gan)
         editor.g_params = g_new
         if d_new is not None:
             editor.d_params = d_new
@@ -74,7 +72,7 @@ def run(opt, conf):
         embed_name = "facenet-vggface2"
     else:
         print("NOTE: no --facenet_path; identity uses a VGG-feature embedding")
-        embed_fn = ev.make_vgg_embed_fn(editor.vgg_params)
+        embed_fn = ev.make_vgg_embed_fn(editor.vgg_params, ref_parity=ref_parity)
         embed_name = "vgg-fallback"
 
     from ..tasks.transforms import get_task
@@ -122,8 +120,8 @@ def run(opt, conf):
         json.dump(
             {
                 "embedding": embed_name,
-                # provenance: 'reference' = raw 0-255 NEAREST-resized inputs
-                # exactly as eval.py:144-155; 'whitened' = bilinear +
+                # provenance: 'reference' = raw 0-255 BICUBIC-resized inputs
+                # exactly as eval.py:144-155 (PIL default); 'whitened' = bilinear +
                 # (x-127.5)/128. Numbers from the two modes must not be
                 # cross-compared.
                 "embedding_preprocess": "reference" if ref_parity else "whitened",
@@ -138,9 +136,9 @@ def main():
     vo = VisOptions()
     vo.parser.add_argument("--facenet_path", type=str, default="")
     vo.parser.add_argument("--ref_parity", action="store_true",
-                           help="feed raw 0-255 NEAREST-resized images to the "
-                                "identity embedding, exactly as the reference "
-                                "eval.py does")
+                           help="feed raw 0-255 BICUBIC-resized images to "
+                                "the identity embedding, exactly as the "
+                                "reference eval.py does")
     opt, conf = vo.parse()
     run(opt, conf)
 

@@ -153,7 +153,6 @@ def _make_gan_provider(editor, opt, mesh, gan_state, task):
     import jax.numpy as jnp
 
     from ..engine.gan import GANModule, make_gan_update_steps
-    from ..models import resnet as rn
     from ..models import stylegan2 as sg2
     from ..parallel import mesh as meshlib
 
@@ -162,18 +161,18 @@ def _make_gan_provider(editor, opt, mesh, gan_state, task):
     mod = GANModule.create(editor.g_params, d_params=editor.d_params,
                            lr=opt.gan_lr)
     gan_state["module"] = mod
-    attr_idx = np.asarray(editor.cfg.attr_idx)
+    n_attr = len(editor.cfg.attr_idx)
 
     def g_apply(gp, batch):
-        # The GAN sees the same edited distribution the walk step produces:
-        # z -> W+ -> regress current alpha -> walk by (target - org) -> G.
-        w = sg2.style_forward(gp, batch["z"])
-        latent = jnp.repeat(w[:, None, :], editor.cfg.n_latent, axis=1)
-        orig = sg2.synthesize(gp, latent, dtype=cdt)
-        preds, _ = rn.resnet50_forward(batch["reg"], orig, dtype=cdt)
-        delta = batch["alpha"] - preds[:, jnp.asarray(attr_idx)]
-        latent_new = editor.edit(batch["walk"], latent, delta)
-        return sg2.synthesize(gp, latent_new, dtype=cdt)
+        # The GAN sees the same edited distribution the walk step produces —
+        # and runs the SAME pipeline (latent space, kernel impl,
+        # reg_input_size) by routing through the Editor with the live G.
+        ed = editor.with_params({"g": gp, "reg": batch["reg"]})
+        latent = ed.get_w(batch["z"]) if editor.cfg.latent == "w" else batch["z"]
+        orig = ed.synthesize(latent)
+        delta = batch["alpha"] - ed.regress(orig)
+        latent_new = ed.edit(batch["walk"], latent, delta)
+        return ed.synthesize(latent_new)
 
     def d_apply(dp, img):
         return sg2.discriminator_forward(dp, img, dtype=cdt)
@@ -195,8 +194,10 @@ def _make_gan_provider(editor, opt, mesh, gan_state, task):
         real = jnp.asarray(next_real(), jnp.float32) / 127.5 - 1.0
         z = jnp.asarray(rng.randn(opt.batch_size, editor.cfg.dim_z),
                         jnp.float32)
-        alpha, _ = task.train_alpha_np(rng, opt.batch_size, len(attr_idx))
-        batch = {"z": z, "alpha": jnp.asarray(alpha),
+        alpha_graph, alpha_target = task.train_alpha_np(
+            rng, opt.batch_size, n_attr
+        )
+        batch = {"z": z, "alpha": jnp.asarray(alpha_graph),
                  "walk": gan_state["walk"], "reg": editor.reg_params}
         key_box[0], k1 = jax.random.split(key_box[0])
         mod.d_params, mod.d_opt_state, _ = d_step(
@@ -205,12 +206,13 @@ def _make_gan_provider(editor, opt, mesh, gan_state, task):
         target = mask = None
         if has_pixel_target:
             # geometric lineage: masked L2 toward the warped original
-            w = sg2.style_forward(mod.g_params, batch["z"])
-            latent = jnp.repeat(w[:, None, :], editor.cfg.n_latent, axis=1)
-            orig = np.asarray(
-                sg2.synthesize(mod.g_params, latent, dtype=cdt), np.float32
-            )
-            target_np, mask_np = task.get_target_np(orig, alpha)
+            # (get_target_np takes the RAW alpha, not the graph slider —
+            # Zoom's slider is log-scaled)
+            ed = editor.with_params({"g": mod.g_params})
+            latent = (ed.get_w(batch["z"]) if editor.cfg.latent == "w"
+                      else batch["z"])
+            orig = np.asarray(ed.synthesize(latent), np.float32)
+            target_np, mask_np = task.get_target_np(orig, alpha_target)
             target = jnp.asarray(target_np, jnp.float32)
             mask = jnp.asarray(mask_np, jnp.float32)
         mod.g_params, mod.g_opt_state, mod.g_running, _ = g_step(
@@ -227,26 +229,35 @@ def _make_gan_provider(editor, opt, mesh, gan_state, task):
 
 def _make_real_batcher(paths, size, batch_size):
     """-> next() yielding [B, size, size, 3] uint8 batches; threaded C++
-    prefetch Loader with a per-image PIL fallback."""
+    prefetch Loader with a per-image PIL fallback. Ragged tail batches are
+    carried over in a buffer (never dropped — a dataset smaller than
+    batch_size must still make progress, spanning epochs as needed)."""
     try:
         from ..native import _l2i_native as nat
 
         loader = nat.Loader(paths, size, batch_size, threads=2)
         epoch_box = [0]
         loader.start_epoch(seed=0, shuffle=True)
+        buf = []  # leftover rows from ragged batches
 
         def next_native():
             while True:
+                if len(buf) >= batch_size:
+                    out = np.stack(buf[:batch_size])
+                    del buf[:batch_size]
+                    return out
                 try:
                     raw, idx = loader.next_batch()
                 except StopIteration:
                     epoch_box[0] += 1
                     loader.start_epoch(seed=epoch_box[0], shuffle=True)
                     continue
-                if len(idx) == batch_size:  # drop ragged tail batches
-                    return np.frombuffer(raw, np.uint8).reshape(
-                        batch_size, size, size, 3
-                    )
+                b = np.frombuffer(raw, np.uint8).reshape(
+                    len(idx), size, size, 3
+                )
+                if not buf and len(idx) == batch_size:
+                    return b
+                buf.extend(b)
 
         return next_native
     except ImportError:

@@ -47,9 +47,7 @@ def run(opt, conf):
     if getattr(opt, "save_path_gan", None):
         # fine-tuned GAN from an --updateGAN run (reference vis_w.py loads it
         # via load_multi_models when updateGAN)
-        g_new, d_new = ckpt.load_gan_checkpoint(opt.save_path_gan,
-                                                editor.g_params,
-                                                editor.d_params)
+        g_new, d_new = ckpt.load_gan_checkpoint(opt.save_path_gan)
         editor.g_params = g_new
         if d_new is not None:
             editor.d_params = d_new
@@ -70,7 +68,14 @@ def run(opt, conf):
     if latents_dir:
         import glob as globmod
 
-        files = sorted(globmod.glob(os.path.join(latents_dir, "*_w.npy")))
+        def _batch_start(path):
+            # bp.py names files by numeric batch start (0_w, 4_w, 12_w...);
+            # lexicographic order would interleave digit widths
+            stem = os.path.basename(path).split("_")[0]
+            return (0, int(stem)) if stem.isdigit() else (1, path)
+
+        files = sorted(globmod.glob(os.path.join(latents_dir, "*_w.npy")),
+                       key=_batch_start)
         assert files, f"no *_w.npy under {latents_dir}"
         latents = np.concatenate([np.load(f) for f in files]).astype(np.float32)
         opt.num_samples = len(latents)
@@ -84,8 +89,13 @@ def run(opt, conf):
         assert len(idx) == 2, "--combine_indices wants two attribute indices"
         for batch_start in range(0, opt.num_samples, BATCH):
             z = zs[batch_start : batch_start + BATCH]
+            gw = None
+            if latents is not None:
+                import jax.numpy as jnp
+
+                gw = jnp.asarray(latents[batch_start : batch_start + BATCH])
             imgs, alpha_org, _ = editor.sweep_combine(
-                walk_params, z, alphas, indices=idx
+                walk_params, z, alphas, indices=idx, given_w=gw
             )
             grid = imgmod.to_uint8(imgs)  # [P, P, B, H, W, 3]
             p = len(alphas)

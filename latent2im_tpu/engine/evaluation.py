@@ -107,24 +107,27 @@ def resize_for_embedding(
 
     Default: bilinear resize + facenet's own (x-127.5)/128 whitening — the
     arguably-correct preprocessing. ref_parity=True reproduces the reference
-    eval.py EXACTLY (raw 0-255 values, PIL-default NEAREST resize,
-    eval.py:144-155) for apples-to-apples comparison with reference-reported
-    identity numbers; the two modes are NOT cross-comparable, so the CLI
-    records which one produced the report.
+    eval.py EXACTLY (raw 0-255 values, PIL Image.resize with its default
+    BICUBIC filter, eval.py:144-155) for apples-to-apples comparison with
+    reference-reported identity numbers; the two modes are NOT
+    cross-comparable, so the CLI records which one produced the report.
     """
     x = jnp.asarray(imgs_u8, jnp.float32)
     if x.ndim == 3:
         x = x[None]
-    method = "nearest" if ref_parity else "linear"
+    method = "cubic" if ref_parity else "linear"
     x = jax.image.resize(x, (x.shape[0], size, size, x.shape[3]), method)
     if ref_parity:
         return x
     return (x - 127.5) / 128.0
 
 
-def make_vgg_embed_fn(vgg_params, taps=("relu_10",)) -> Callable:
+def make_vgg_embed_fn(vgg_params, taps=("relu_10",),
+                      ref_parity: bool = False) -> Callable:
     """Fallback identity embedding from VGG16 features (used when no facenet
-    checkpoint is supplied; relative comparisons remain meaningful)."""
+    checkpoint is supplied; relative comparisons remain meaningful).
+    ref_parity selects the reference-style preprocessing so the report's
+    provenance field stays accurate on the fallback path too."""
     from ..models import vgg as vggm
 
     @jax.jit
@@ -134,6 +137,6 @@ def make_vgg_embed_fn(vgg_params, taps=("relu_10",)) -> Callable:
         return jnp.mean(f, axis=(1, 2))
 
     def fn(imgs_u8):
-        return embed(resize_for_embedding(imgs_u8, 160))
+        return embed(resize_for_embedding(imgs_u8, 160, ref_parity=ref_parity))
 
     return fn

@@ -100,7 +100,7 @@ def _looks_like_torch(path: str) -> bool:
     return head.startswith(b"PK") or head.startswith(b"\x80")
 
 
-def load_gan_checkpoint(path: str, g_like, d_like=None):
+def load_gan_checkpoint(path: str):
     """Load a fine-tuned GAN checkpoint -> (g_params, d_params|None).
 
     Accepts this framework's ``model_gan_{n}_final.ckpt`` msgpack pytree
@@ -120,8 +120,6 @@ def load_gan_checkpoint(path: str, g_like, d_like=None):
 
         ckpt_t = torch.load(path, map_location="cpu", weights_only=False)
         sd = ckpt_t.get("g_ema", ckpt_t.get("g", ckpt_t))
-        import math
-
         # infer size from the number of to_rgbs keys
         n_rgb = len({k.split(".")[1] for k in sd if k.startswith("to_rgbs.")})
         size = 4 * 2 ** n_rgb

@@ -115,7 +115,7 @@ def test_save_path_gan_roundtrip(tmp_path):
     path = str(tmp_path / "model_gan_1_final.ckpt")
     ckpt.save_pytree(path, {"g": g, "g_running": g_run, "d": d})
 
-    g2, d2 = ckpt.load_gan_checkpoint(path, g, d)
+    g2, d2 = ckpt.load_gan_checkpoint(path)
     assert isinstance(g2["convs"], list) and isinstance(g2["style"], list)
     np.testing.assert_allclose(
         np.asarray(g2["conv1"]["conv"]["w"]),

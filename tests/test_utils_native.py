@@ -63,3 +63,21 @@ def test_html_gallery(tmp_path):
     path = make_html(str(tmp_path))
     html = open(path).read()
     assert "x0.png" in html and "x1.png" in html and "<table" in html
+
+
+def test_real_batcher_dataset_smaller_than_batch(tmp_path):
+    """--updateGAN's real-image batcher must make progress when the dataset
+    is smaller than batch_size (ragged batches buffer across epochs)."""
+    import PIL.Image
+
+    from latent2im_tpu.cli.train import _make_real_batcher
+
+    for i in range(3):
+        arr = np.random.RandomState(i).randint(0, 255, (16, 16, 3), np.uint8)
+        PIL.Image.fromarray(arr).save(tmp_path / f"im{i}.png")
+    paths = sorted(str(p) for p in tmp_path.glob("*.png"))
+
+    next_real = _make_real_batcher(paths, 16, 8)
+    for _ in range(3):
+        b = next_real()
+        assert b.shape == (8, 16, 16, 3) and b.dtype == np.uint8
