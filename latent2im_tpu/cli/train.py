@@ -102,23 +102,52 @@ def run(opt, n_epoch_default: int = N_EPOCH_SINGLE, save_loss_artifacts: bool = 
         assert opt.real_data_dir, "--updateGAN needs --real_data_dir"
         frozen_provider = _make_gan_provider(editor, opt, mesh, gan_state, task)
 
-    with logmod.profile_trace(getattr(opt, "profile_dir", "")):
-        walk_params, history = train_loop(
-            editor,
-            task,
-            walk_params,
-            num_samples=opt.num_samples,
-            batch_size=batch,
-            n_epochs=n_epochs,
-            lr=opt.learning_rate,
-            mesh=mesh,
-            log_every=1,
-            on_step=on_step,
-            on_epoch_end=on_epoch_end,
-            start_epoch=start_epoch,
-            opt_state=opt_state,
-            frozen_provider=frozen_provider,
-        )
+    # Preemption safety (SURVEY §5.3): TPU pools deliver SIGTERM before
+    # reclaiming a VM — checkpoint walk + optimizer state and exit cleanly so
+    # --resume continues exactly where the run stopped.
+    import signal
+
+    stop_box = {"stop": False}
+
+    def _on_sigterm(signum, frame):
+        logging.warning("SIGTERM received: checkpointing and stopping")
+        stop_box["stop"] = True
+
+    prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+
+    def on_preempt(epoch, wp, st):
+        # meta epoch = epoch-1 so --resume RE-RUNS the interrupted epoch
+        # (repeating a few steps is benign; skipping half an epoch is not)
+        path = ckpt.save_walk(output_dir, epoch, wp, opt_state=st,
+                              extra_meta={"epoch": epoch - 1,
+                                          "preempted": True})
+        stop_box["preempted"] = True
+        logging.warning("preemption checkpoint written: %s", path)
+
+    try:
+        with logmod.profile_trace(getattr(opt, "profile_dir", "")):
+            walk_params, history = train_loop(
+                editor,
+                task,
+                walk_params,
+                num_samples=opt.num_samples,
+                batch_size=batch,
+                n_epochs=n_epochs,
+                lr=opt.learning_rate,
+                mesh=mesh,
+                log_every=1,
+                on_step=on_step,
+                on_epoch_end=on_epoch_end,
+                start_epoch=start_epoch,
+                opt_state=opt_state,
+                frozen_provider=frozen_provider,
+                stop_flag=lambda: stop_box["stop"],
+                on_preempt=on_preempt,
+            )
+    finally:
+        signal.signal(signal.SIGTERM, prev_handler)
+    if stop_box.get("preempted"):
+        return walk_params, history
     ckpt.save_walk(output_dir, n_epochs, walk_params, final=True)
     if gan_state.get("module") is not None:
         # save the fine-tuned GAN (the reference's save_path_gan surface)

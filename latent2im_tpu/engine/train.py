@@ -196,10 +196,17 @@ def train_loop(
     start_epoch: int = 0,
     opt_state=None,
     frozen_provider: Callable | None = None,
+    stop_flag: Callable | None = None,
+    on_preempt: Callable | None = None,
 ) -> tuple[Any, list[float]]:
     """The reference's epoch/iteration structure (train.py:39-132) around the
     jitted step. Returns (walk_params, loss_history). Pass start_epoch +
-    opt_state (from io.checkpoint.load_walk) to resume a preempted run."""
+    opt_state (from io.checkpoint.load_walk) to resume a preempted run.
+
+    stop_flag() -> bool is polled between iterations (e.g. set by a SIGTERM
+    handler on preemptible TPU pools); when it trips, on_preempt(epoch,
+    walk_params, opt_state) runs (checkpoint!) and the loop returns early.
+    """
     optimizer = make_optimizer(lr)
     if opt_state is None:
         opt_state = optimizer.init(walk_params)
@@ -215,6 +222,10 @@ def train_loop(
         zs = sample_epoch_z(num_samples, editor.cfg.dim_z, seed=epoch)
         iters = num_samples // batch_size
         for i in range(iters):
+            if stop_flag is not None and stop_flag():
+                if on_preempt is not None:
+                    on_preempt(epoch, walk_params, opt_state)
+                return walk_params, history
             t0 = time.time()
             z = zs[i * batch_size : (i + 1) * batch_size]
             if mesh is not None:

@@ -177,3 +177,79 @@ def test_vis_latents_dir_real_image_flow(tmp_path):
     out_dir = vis_run(vopt, conf)
     pngs = [f for f in os.listdir(out_dir) if f.endswith(".png")]
     assert len(pngs) == 2  # one panel grid per inverted image
+
+
+@pytest.mark.slow
+def test_preemption_checkpoint_and_resume(tmp_path):
+    """SIGTERM mid-training writes a resumable checkpoint (walk + optimizer
+    state) and skips the final save; --resume restarts the interrupted
+    epoch."""
+    import signal
+
+    from latent2im_tpu.cli.train import run as train_run
+    from latent2im_tpu.config.options import TrainOptions
+    from latent2im_tpu.io import checkpoint as ckpt
+
+    argv = [
+        "--transform", "face", "--attrList", "Smiling",
+        "--attrPath", "/root/repo/dataset/attributes_celeba.txt",
+        "--models_dir", str(tmp_path / "m"), "--overwrite_config",
+        "--num_samples", "8", "--batch_size", "2", "--n_epochs", "2",
+        "--dev_tiny", "--resolution", "32", "--model_save_freq", "0",
+        "--n_devices", "1",
+    ]
+    opt = TrainOptions().parse(argv, print_opt=True)
+
+    # trip SIGTERM from inside the loop via the installed handler
+    fired = {"n": 0}
+    orig_run = train_run
+
+    import latent2im_tpu.engine.train as trainmod
+
+    real_loop = trainmod.train_loop
+
+    def loop_with_kill(*a, **kw):
+        on_step = kw.get("on_step")
+
+        def killing_on_step(epoch, i, metrics, dt, wp):
+            if on_step:
+                on_step(epoch, i, metrics, dt, wp)
+            if fired["n"] == 1:  # after the 2nd step of epoch 0
+                import os as _os
+
+                _os.kill(_os.getpid(), signal.SIGTERM)
+            fired["n"] += 1
+
+        kw["on_step"] = killing_on_step
+        return real_loop(*a, **kw)
+
+    trainmod.train_loop = loop_with_kill
+    try:
+        import latent2im_tpu.cli.train as tcli
+
+        saved_loop = tcli.train_loop
+        tcli.train_loop = loop_with_kill
+        try:
+            orig_run(opt)
+        finally:
+            tcli.train_loop = saved_loop
+    finally:
+        trainmod.train_loop = real_loop
+
+    run_dir = opt.output_dir
+    # no final checkpoint; a preemption checkpoint with opt state exists
+    assert not os.path.isfile(
+        os.path.join(run_dir, "model_w_2_final_walk_module.ckpt")
+    )
+    latest = ckpt.find_resume(run_dir)
+    assert latest is not None
+    meta = ckpt.load_meta(latest)
+    assert meta.get("preempted") is True
+    assert meta["epoch"] == -1  # interrupted epoch 0 -> resume re-runs it
+
+    # resume completes the run
+    opt2 = TrainOptions().parse(argv + ["--resume"], print_opt=False)
+    walk, hist = train_run(opt2)
+    assert os.path.isfile(
+        os.path.join(run_dir, "model_w_2_final_walk_module.ckpt")
+    )
