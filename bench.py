@@ -29,7 +29,9 @@ import jax.numpy as jnp
 # See BASELINE.md "Measured baselines" for the derivation.
 A100_EDIT_IMG_S = 12.0
 
-BATCH = 16
+# B=8 was the pre-fast-tail HBM limit; the s2d tail freed enough activation
+# memory for 16 (round 1) and now 32 (measured 137.7 vs 130.0 img/s at 16).
+BATCH = 32
 SIZE = 1024
 ITERS = 20
 WARMUP = 3
