@@ -16,7 +16,7 @@ import os
 
 import numpy as np
 
-from ..engine.inversion import invert
+from ..engine.inversion import invert, make_inverter
 from ..models import stylegan2 as sg2
 from ..models import vgg as vggm
 from ..utils import image as imgmod
@@ -98,6 +98,9 @@ def main(argv=None):
 
     imgs = load_images(args.img_dir, args.resolution)
     n_latent = sg2.n_latent(args.resolution)
+    # one compile for all equal-sized batches (per-batch re-jit would pay
+    # ~20s+ of G+VGG recompilation each, CLAUDE.md compile budgets)
+    inverter = make_inverter(g_params, vgg16, n_latent, args.lr, args.optim)
 
     for bi in range(0, len(imgs), args.batch_size):
         batch = imgs[bi : bi + args.batch_size]
@@ -116,7 +119,7 @@ def main(argv=None):
         w, output, history = invert(
             g_params, vgg16, batch, n_latent,
             n_loops=args.n_loops, lr=args.lr, optim=args.optim,
-            show_freq=args.show_freq, on_loop=on_loop,
+            show_freq=args.show_freq, on_loop=on_loop, inverter=inverter,
         )
         imgmod.save_im(
             imgmod.imgrid(imgmod.to_uint8(output), cols=len(batch)),

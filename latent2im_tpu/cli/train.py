@@ -40,6 +40,10 @@ def run(opt, n_epoch_default: int = N_EPOCH_SINGLE, save_loss_artifacts: bool = 
             "--updateGAN is implemented for the stylegan models only "
             "(the reference's PGGAN updateGAN path is dead code)"
         )
+    if opt.updateGAN and opt.no_gan_loss:
+        raise SystemExit(
+            "--updateGAN needs a discriminator; drop --no_gan_loss"
+        )
     output_dir = opt.output_dir
     os.makedirs(os.path.join(output_dir, "results"), exist_ok=True)
     os.makedirs(os.path.join(output_dir, "logs"), exist_ok=True)
@@ -87,8 +91,8 @@ def run(opt, n_epoch_default: int = N_EPOCH_SINGLE, save_loss_artifacts: bool = 
         if save_freq and i % save_freq == 0:
             _save_samples(editor, current_walk, output_dir, epoch, i, batch)
 
-    def on_epoch_end(epoch, wp):
-        ckpt.save_walk(output_dir, epoch, wp)
+    def on_epoch_end(epoch, wp, st):
+        ckpt.save_walk(output_dir, epoch, wp, opt_state=st)
         logging.info("Save W in %s", ckpt.walk_ckpt_path(output_dir, epoch))
 
     frozen_provider = None
@@ -121,6 +125,10 @@ def run(opt, n_epoch_default: int = N_EPOCH_SINGLE, save_loss_artifacts: bool = 
         path = ckpt.save_walk(output_dir, epoch, wp, opt_state=st,
                               extra_meta={"epoch": epoch - 1,
                                           "preempted": True})
+        if gan_state.get("module") is not None:
+            _save_gan(gan_state["module"],
+                      os.path.join(output_dir, "model_gan_resume.ckpt"))
+            logging.warning("fine-tuned GAN preemption checkpoint written")
         stop_box["preempted"] = True
         logging.warning("preemption checkpoint written: %s", path)
 
@@ -151,11 +159,8 @@ def run(opt, n_epoch_default: int = N_EPOCH_SINGLE, save_loss_artifacts: bool = 
     ckpt.save_walk(output_dir, n_epochs, walk_params, final=True)
     if gan_state.get("module") is not None:
         # save the fine-tuned GAN (the reference's save_path_gan surface)
-        mod = gan_state["module"]
-        ckpt.save_pytree(
-            os.path.join(output_dir, f"model_gan_{n_epochs}_final.ckpt"),
-            {"g": mod.g_params, "g_running": mod.g_running, "d": mod.d_params},
-        )
+        _save_gan(gan_state["module"],
+                  os.path.join(output_dir, f"model_gan_{n_epochs}_final.ckpt"))
 
     if save_loss_artifacts:
         np.save(os.path.join(output_dir, "loss_values.npy"), np.asarray(loss_values))
@@ -163,6 +168,14 @@ def run(opt, n_epoch_default: int = N_EPOCH_SINGLE, save_loss_artifacts: bool = 
     if writer is not None:
         writer.close()
     return walk_params, history
+
+
+def _save_gan(mod, path):
+    from ..io import checkpoint as ckpt
+
+    ckpt.save_pytree(
+        path, {"g": mod.g_params, "g_running": mod.g_running, "d": mod.d_params}
+    )
 
 
 def _make_gan_provider(editor, opt, mesh, gan_state, task):
@@ -187,8 +200,19 @@ def _make_gan_provider(editor, opt, mesh, gan_state, task):
 
     size = editor.cfg.size
     cdt = editor.cfg.compute_dtype
+    assert editor.d_params is not None, "--updateGAN needs a discriminator"
     mod = GANModule.create(editor.g_params, d_params=editor.d_params,
                            lr=opt.gan_lr)
+    resume_gan = os.path.join(opt.output_dir, "model_gan_resume.ckpt")
+    if getattr(opt, "resume", False) and os.path.isfile(resume_gan):
+        from ..io import checkpoint as ckptmod
+
+        tree = ckptmod.load_gan_state(resume_gan)
+        mod.g_params, mod.g_running = tree["g"], tree["g_running"]
+        if tree.get("d") is not None:
+            mod.d_params = tree["d"]
+        # (GAN optimizer moments restart; the fine-tuned weights carry over)
+        logging.info("restored fine-tuned GAN from %s", resume_gan)
     gan_state["module"] = mod
     n_attr = len(editor.cfg.attr_idx)
 

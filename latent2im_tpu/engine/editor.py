@@ -220,6 +220,17 @@ class Editor:
             self._jit_cache[name] = jax.jit(fn)
         return self._jit_cache[name]
 
+    def _bank_position(self, index) -> int:
+        """Regressor-table attribute id -> column in the trained bank;
+        raises for ids the bank wasn't trained on (silent mis-edits are
+        worse; the reference's attrIdx.index raises too)."""
+        if index in self.cfg.attr_idx:
+            return self.cfg.attr_idx.index(index)
+        raise ValueError(
+            f"attribute index {index} not in the trained bank "
+            f"{self.cfg.attr_idx}"
+        )
+
     def apply_alpha(self, walk_params, z, alpha_to_graph, given_w=None, index=None):
         """Inference-time edit (transform_base.py:554-603).
 
@@ -233,12 +244,18 @@ class Editor:
         """
         idx_pos = None
         if index is not None:
-            # reference branch (:576-583): with a full-table bank `index` is a
-            # direct column; with a sub-bank it maps through attr_idx.
+            # reference branch (:576-583): `index` is a regressor-table
+            # attribute id, mapped through the bank's attr_idx; an id the
+            # bank wasn't trained on is an error (the reference's
+            # attrIdx.index raises too) — silently editing a different
+            # column would be worse.
             if index in self.cfg.attr_idx:
                 idx_pos = self.cfg.attr_idx.index(index)
             else:
-                idx_pos = int(index)
+                raise ValueError(
+                    f"attribute index {index} not in the trained bank "
+                    f"{self.cfg.attr_idx}"
+                )
 
         def run(wp, z, ag, gw):
             if self.cfg.latent == "z":
@@ -299,10 +316,7 @@ class Editor:
         delta starts at zero and only the listed attribute columns move toward
         their targets. alphas_per_attr: list of [B] or [B,1] arrays aligned
         with `indices` (regressor-table indices)."""
-        positions = tuple(
-            self.cfg.attr_idx.index(i) if i in self.cfg.attr_idx else int(i)
-            for i in indices
-        )
+        positions = tuple(self._bank_position(i) for i in indices)
 
         def run(wp, z, ags, gw):
             latent = self.get_w(z) if gw is None else gw
@@ -329,10 +343,7 @@ class Editor:
         design rule `sweep` follows for 1-D panels."""
         import numpy as np
 
-        positions = tuple(
-            self.cfg.attr_idx.index(i) if i in self.cfg.attr_idx else int(i)
-            for i in indices
-        )
+        positions = tuple(self._bank_position(i) for i in indices)
         panels = np.asarray(panel_alphas, np.float32)
         p = len(panels)
         grid = np.stack(
@@ -366,7 +377,9 @@ def _bilinear_resize(img, h, w):
 
 
 def clip_ims(ims) -> "np.ndarray":
-    """[-1,1] float -> uint8 (transform_base.py:551-552). Host-side."""
-    import numpy as np
+    """[-1,1] float -> uint8 (transform_base.py:551-552). Host-side.
 
-    return np.uint8(np.clip(((np.asarray(ims) + 1) / 2.0) * 255, 0, 255))
+    Alias of utils.image.to_uint8 under the reference's method name."""
+    from ..utils.image import to_uint8
+
+    return to_uint8(ims)

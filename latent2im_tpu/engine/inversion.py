@@ -93,10 +93,18 @@ def invert(
     key=None,
     on_loop: Callable | None = None,
     show_freq: int = 500,
+    inverter=None,
+    kernel_impl=None,
 ):
-    """-> (w [B, n_latent, D], final output images, loss history)."""
+    """-> (w [B, n_latent, D], final output images, loss history).
+
+    inverter: optional prebuilt (init_w, step, tx) from make_inverter —
+    multi-batch callers MUST pass one, or every call re-jits (recompiling the
+    full G+VGG graph per batch, ~20s+ each per CLAUDE.md compile budgets)."""
     key = key if key is not None else jax.random.PRNGKey(0)
-    init_w, step, tx = make_inverter(g_params, vgg16_params, n_latent, lr, optim)
+    init_w, step, tx = inverter or make_inverter(
+        g_params, vgg16_params, n_latent, lr, optim, kernel_impl=kernel_impl
+    )
     target = jnp.asarray(target_imgs)
     w = init_w(key, target.shape[0])
     opt_state = tx.init(w)

@@ -21,8 +21,9 @@ GAN_WEIGHT = 0.05
 def raw_bce(pred, target, eps: float = 1e-12):
     """The reference's handwritten BCE on *raw* (unbounded) regressor outputs
     (transform_base.py:412-414): clamps pred and 1-pred at eps before log.
-    NaN-prone by construction when pred > 1; reproduced for parity."""
-    pred = pred.astype(jnp.float64) if pred.dtype == jnp.float64 else pred
+    NaN-prone by construction when pred > 1; reproduced for parity. (The
+    reference also casts targets to double — f64 is unavailable on TPU, so
+    the f32 difference is accepted and covered by the formula test's rtol.)"""
     t1 = target * jnp.log(jnp.clip(pred, min=eps))
     t2 = (1.0 - target) * jnp.log(jnp.clip(1.0 - pred, min=eps))
     return -jnp.mean(t1 + t2)

@@ -152,25 +152,35 @@ def make_geometric_train_step(
     step(walk_params, opt_state, z, alpha_graph, target, mask) ->
     (walk_params, opt_state, metrics). The host driver synthesizes the
     original, warps it with the task's get_target_np, and feeds both here.
+    The frozen G travels as a jit ARGUMENT (closures embed it as HLO
+    constants — the documented compile-tunnel 413 failure mode at full size).
     """
     cfg = editor.cfg
+    frozen_dev = jax.device_put(editor.frozen_params())
 
-    def loss_fn(walk_params, z, alpha_graph, target, mask):
-        latent = editor.get_w(z) if cfg.latent == "w" else z
-        latent_new = editor.edit(walk_params, latent, alpha_graph)
-        img_new = editor.synthesize(latent_new)
+    def loss_fn(walk_params, z, alpha_graph, target, mask, frozen):
+        ed = editor.with_params(frozen)
+        latent = ed.get_w(z) if cfg.latent == "w" else z
+        latent_new = ed.edit(walk_params, latent, alpha_graph)
+        img_new = ed.synthesize(latent_new)
         loss = L.masked_l2(img_new, target, mask)
         return loss, {"loss": loss}
 
-    def step(walk_params, opt_state, z, alpha_graph, target, mask):
+    def step6(walk_params, opt_state, z, alpha_graph, target, mask, frozen):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            walk_params, z, alpha_graph, target, mask
+            walk_params, z, alpha_graph, target, mask, frozen
         )
         updates, opt_state = optimizer.update(grads, opt_state, walk_params)
         walk_params = optax.apply_updates(walk_params, updates)
         return walk_params, opt_state, metrics
 
-    return jax.jit(step, donate_argnums=(0, 1))
+    jit_step = jax.jit(step6, donate_argnums=(0, 1))
+
+    def step(walk_params, opt_state, z, alpha_graph, target, mask):
+        return jit_step(walk_params, opt_state, z, alpha_graph, target, mask,
+                        frozen_dev)
+
+    return step
 
 
 def sample_epoch_z(num_samples: int, dim_z: int, seed: int) -> np.ndarray:
@@ -244,5 +254,7 @@ def train_loop(
                     on_step(epoch, i, metrics, time.time() - t0, walk_params)
             it_global += 1
         if on_epoch_end is not None:
-            on_epoch_end(epoch, walk_params)
+            # opt_state included so per-epoch checkpoints resume EXACTLY
+            # (dropping it silently reinitializes Adam moments on --resume)
+            on_epoch_end(epoch, walk_params, opt_state)
     return walk_params, history

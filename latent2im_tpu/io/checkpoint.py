@@ -128,11 +128,17 @@ def load_gan_checkpoint(path: str):
         if "d" in ckpt_t:
             d = convert_stylegan2_discriminator(ckpt_t["d"], size)
         return g, d
-    with open(path, "rb") as f:
-        tree = serialization.msgpack_restore(f.read())  # structure-free load
-    tree = _relistify(tree)
+    tree = load_gan_state(path)
     g = tree.get("g_running", tree.get("g"))
     return g, tree.get("d")
+
+
+def load_gan_state(path: str) -> dict:
+    """Raw {'g', 'g_running', 'd'} dict from a GAN checkpoint written by
+    cli.train._save_gan (structure-free msgpack restore)."""
+    with open(path, "rb") as f:
+        tree = serialization.msgpack_restore(f.read())
+    return _relistify(tree)
 
 
 def _relistify(tree):

@@ -600,6 +600,11 @@ def convert_walk_state(cls: str, state: dict, attr_list: list[str]) -> dict:
                 )
             rows.append(bank[0, :, 0])
         return {"w": np.stack(rows)}
+    if cls == "WalkLinearZ":
+        # pggan normalized-linear z walk (pggan transform_base.py:63-83):
+        # a single nn.Linear(D, D) -> walks.linear_z layout
+        return {"lin": {"w": _lin_w(state["linear.weight"]),
+                        "b": _np(state["linear.bias"])}}
     if cls == "WalkLinearZ_free":
         return {"w": state["w"]}  # [A, 512]
     if cls in ("WalkMlpZ3", "WalkMlpZ2", "WalkMlpZ"):

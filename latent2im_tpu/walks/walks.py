@@ -239,8 +239,15 @@ def init_embed(key, dim_z, n_layers, attr_list, nsliders=1, n_panel=6):
 
 
 def apply_embed(params, z, alpha, name=None, index=0, layers=None):
-    """Discrete embedding walk (transform_base.py:21-41): z += bank[index]."""
-    bank = params["w"][name]
+    """Discrete embedding walk (transform_base.py:21-41): z += bank[index].
+
+    name selects the per-attribute bank; None (the generic Editor.edit call
+    path, e.g. --trainEmbed training) uses the first bank — the reference
+    only ever trains this module single-attribute."""
+    if name is None:
+        bank = next(iter(params["w"].values()))
+    else:
+        bank = params["w"][name]
     delta = jnp.sum(bank[index, 0], axis=-1)  # [D], summed over sliders
     return z + delta[None, :]
 

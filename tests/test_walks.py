@@ -168,3 +168,34 @@ def test_convert_walk_linear_bank():
     # names derived from keys when attr_list is empty
     p2 = tc.convert_walk_state("WalkLinear", state, [])
     assert p2["w"].shape == (2, 8)
+
+
+def test_convert_walk_linear_z_single():
+    import numpy as np
+
+    from latent2im_tpu.io import torch_convert as tc
+    from latent2im_tpu.walks.walks import apply_linear_z
+
+    rng = np.random.RandomState(2)
+    state = {"linear.weight": rng.randn(8, 8).astype(np.float32),
+             "linear.bias": rng.randn(8).astype(np.float32)}
+    params = tc.convert_walk_state("WalkLinearZ", state, ["attr"])
+    z = rng.randn(2, 8).astype(np.float32)
+    alpha = np.full((2, 1), 0.4, np.float32)
+    out = z @ state["linear.weight"].T + state["linear.bias"]
+    want = z + 0.4 * out / np.linalg.norm(out, axis=1, keepdims=True) * 3.0
+    got = apply_linear_z(params, jnp.asarray(z), jnp.asarray(alpha))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_embed_walk_default_bank():
+    """Editor.edit calls walks without a name; embed must fall back to the
+    single trained bank instead of KeyError (the --trainEmbed path)."""
+    from latent2im_tpu.walks import apply_walk, init_walk
+
+    params = init_walk(jax.random.PRNGKey(0), "embed", 8, 4, ["Smiling"])
+    z = jax.random.normal(jax.random.PRNGKey(1), (2, 8))
+    alpha = jnp.full((2, 1), 0.5)
+    out = apply_walk("embed", params, z, alpha)  # no name kwarg
+    assert out.shape == z.shape
+    assert not np.allclose(np.asarray(out), np.asarray(z))
