@@ -77,8 +77,11 @@ def run(opt, conf):
 
     from ..tasks.transforms import get_task
 
+    from ..tasks.transforms import task_kwargs_from_options
+
     task = get_task(conf.transform, walk_type=conf.walk_type,
-                    nsliders=len(info["attr_list"]))
+                    nsliders=len(info["attr_list"]),
+                    **task_kwargs_from_options(conf))
     panel_alphas = task.test_alphas()
 
     zs = sample_epoch_z(opt.num_samples, editor.cfg.dim_z, seed=opt.noise_seed)

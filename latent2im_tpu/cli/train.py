@@ -50,8 +50,11 @@ def run(opt, n_epoch_default: int = N_EPOCH_SINGLE, save_loss_artifacts: bool = 
     logmod.configure(os.path.join(output_dir, "log.txt"))
 
     editor, walk_params, info = build_editor_from_options(opt)
+    from ..tasks.transforms import task_kwargs_from_options
+
     task = get_task(opt.transform, walk_type=opt.walk_type,
-                    nsliders=len(info["attr_list"]))
+                    nsliders=len(info["attr_list"]),
+                    **task_kwargs_from_options(opt))
 
     start_epoch, opt_state = 0, None
     if getattr(opt, "resume", False):

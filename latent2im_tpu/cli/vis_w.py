@@ -55,8 +55,11 @@ def run(opt, conf):
 
     from ..tasks.transforms import get_task
 
+    from ..tasks.transforms import task_kwargs_from_options
+
     task = get_task(conf.transform, walk_type=conf.walk_type,
-                    nsliders=len(info["attr_list"]))
+                    nsliders=len(info["attr_list"]),
+                    **task_kwargs_from_options(conf))
     alphas = np.linspace(opt.min_alpha, opt.max_alpha, opt.num_panels)
 
     # Real-image editing: --latents_dir consumes the W+ latents BP.py-style

@@ -101,7 +101,10 @@ def init_discriminator(key, dim_latent: int = 512,
     flatten, equalized linear) + decision layer."""
     ks = iter(jax.random.split(key, 4 * len(depths) + 6))
     d0 = depths[0]
-    params: Params = {"from_rgb": [], "scales": [], "mbstd": minibatch_stddev}
+    # NOTE: no flag leaf in the tree — whether the std channel exists is
+    # inferred structurally from group0_conv's input width (param pytrees
+    # hold only float array leaves, per the repo jit-argument contract)
+    params: Params = {"from_rgb": [], "scales": []}
     for d in depths:
         params["from_rgb"].append(
             {"w": jax.random.normal(next(ks), (1, 1, 3, d), jnp.float32),
@@ -147,15 +150,22 @@ def _avg_pool2(x):
 
 
 def _minibatch_stddev_zoo(x, sub_group_size: int = 4):
-    """Zoo miniBatchStdDev: per-group stddev averaged over all dims, one
-    constant channel."""
+    """Zoo miniBatchStdDev (pytorch_GAN_zoo networks/mini_batch_stddev_module
+    semantics): CONTIGUOUS subgroups of size min(B,4) (whole batch if it
+    doesn't divide), per-group UNBIASED std averaged over all dims, each
+    group's stat assigned to its own members."""
     b = x.shape[0]
-    g = b if b % sub_group_size != 0 else sub_group_size
-    y = x.reshape(g, b // g, *x.shape[1:])
-    var = jnp.var(y, axis=0)
-    std = jnp.sqrt(var + 1e-8)
-    stat = jnp.mean(std, axis=(1, 2, 3))  # [B/g]
-    stat = jnp.repeat(stat, g, axis=0).reshape(b, 1, 1, 1)
+    sub = min(b, sub_group_size)
+    if b % sub != 0:
+        sub = b
+    if sub <= 1:
+        stat = jnp.zeros((b, x.shape[1], x.shape[2], 1), x.dtype)
+        return jnp.concatenate([x, stat], axis=-1)
+    n_groups = b // sub
+    y = x.reshape(n_groups, sub, *x.shape[1:])
+    std = jnp.sqrt(jnp.var(y, axis=1, ddof=1) + 1e-8)  # torch.var default
+    stat = jnp.mean(std.reshape(n_groups, -1), axis=1)  # [G]
+    stat = jnp.repeat(stat, sub).reshape(b, 1, 1, 1)
     return jnp.concatenate(
         [x, jnp.broadcast_to(stat, (b, x.shape[1], x.shape[2], 1)).astype(x.dtype)],
         axis=-1,
@@ -172,7 +182,8 @@ def discriminator_forward(params: Params, img, dtype=jnp.float32):
         x = jax.nn.leaky_relu(_conv(group[0], x), 0.2)
         x = jax.nn.leaky_relu(_conv(group[1], x), 0.2)
         x = _avg_pool2(x)
-    if params.get("mbstd", True):
+    # std channel iff group0_conv expects one extra input channel
+    if params["group0_conv"]["w"].shape[2] == params["group0_conv"]["w"].shape[3] + 1:
         x = _minibatch_stddev_zoo(x)
     x = jax.nn.leaky_relu(_conv(params["group0_conv"], x), 0.2)
     # torch flattens channel-major

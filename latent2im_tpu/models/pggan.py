@@ -177,13 +177,17 @@ def init_generator(key, n_label: int = N_LABEL) -> Params:
     return params
 
 
-def generator_forward(params: Params, z, step: int = 6, alpha: float = 1.0,
+def generator_forward(params: Params, z, step: int = 6, alpha: float = 0.0,
                       label=None, dtype=jnp.float32):
     """z: [B, 502] -> image [B, R, R, 3], R = 4 * 2**step.
 
     label: int32 [B] (defaults to zeros, matching model_256.py:232).
     alpha in [0,1) blends the previous resolution during fade-in; the
-    reference's `0 <= alpha < 1` gate means alpha=1 (or any value outside
+    DEFAULT alpha=0 matches the reference's call sites (model_256.py forward
+    defaults step=6, alpha=0 and transform_base.py:314 calls netG(z) bare),
+    whose blend then outputs 100% of the PREVIOUS resolution's rgb head on an
+    upsampled feature map — a reference quirk, reproduced for checkpoint
+    parity. The reference's `0 <= alpha < 1` gate means alpha=1 (or any value outside
     [0,1)) disables blending.
     """
     z = z.astype(dtype)
@@ -239,7 +243,7 @@ def init_discriminator(key, n_label: int = N_LABEL) -> Params:
     return params
 
 
-def discriminator_forward(params: Params, img, step: int = 6, alpha: float = 1.0,
+def discriminator_forward(params: Params, img, step: int = 6, alpha: float = 0.0,
                           dtype=jnp.float32):
     """-> (score [B], label_logits [B, n_label]) (model_256.py:329-353)."""
     x = img.astype(dtype)
@@ -250,8 +254,9 @@ def discriminator_forward(params: Params, img, step: int = 6, alpha: float = 1.0
         if i == step:
             out = _plain_conv(params["from_rgb"][index], x)
         if i == 0:
-            # batch-std channel from the ORIGINAL image (model_256.py:335-337)
-            mean_std = jnp.mean(jnp.std(x, axis=0))
+            # batch-std channel from the ORIGINAL image (model_256.py:335-337);
+            # torch's input.std(0) default is UNBIASED (ddof=1)
+            mean_std = jnp.mean(jnp.std(x, axis=0, ddof=1))
             std_map = jnp.full(
                 (out.shape[0], out.shape[1], out.shape[2], 1), mean_std, out.dtype
             )

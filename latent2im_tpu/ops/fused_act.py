@@ -35,6 +35,8 @@ def fused_leaky_relu(
     if impl == "pallas":
         from . import pallas_kernels
 
+        if bias is None:  # the kernel signature is bias-full; fold zeros in
+            bias = jnp.zeros((x.shape[-1],), x.dtype)
         return pallas_kernels.fused_leaky_relu_pallas(x, bias, negative_slope, scale)
     if bias is not None:
         x = x + bias.astype(x.dtype)

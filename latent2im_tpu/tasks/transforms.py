@@ -88,10 +88,29 @@ class ChairTransform(Task):
 class DspritesTransform(Task):
     """Composes per-factor sliders (transforms.py:785-861): 'scale' draws
     from a discrete ladder {0.5..1.0}, 'x' contributes TWO U(-1,1) sliders,
-    'posx'/'posy' draw U(0,1)."""
+    'posx'/'posy' draw U(0,1). The device-side sampler mirrors the same
+    composition for the default 5-slider vocabulary (scale, x, y, posx,
+    posy — 'y' contributes no slider of its own, exactly as the reference)."""
 
     lo, hi = -1.0, 1.0
     SCALE_LADDER = (0.5, 0.6, 0.7, 0.8, 0.9, 1.0)
+
+    def train_alpha(self, key, batch: int, n_attr: int = 5):
+        ks = jax.random.split(key, 5)
+        ladder = jnp.asarray(self.SCALE_LADDER, jnp.float32)
+        scale = ladder[jax.random.randint(ks[0], (), 0, len(self.SCALE_LADDER))]
+        x1 = jax.random.uniform(ks[1], (), jnp.float32, -1.0, 1.0)
+        x2 = jax.random.uniform(ks[2], (), jnp.float32, -1.0, 1.0)
+        posx = jax.random.uniform(ks[3], (), jnp.float32, 0.0, 1.0)
+        posy = jax.random.uniform(ks[4], (), jnp.float32, 0.0, 1.0)
+        a = jnp.stack([scale, x1, x2, posx, posy])
+        if a.shape[0] != n_attr:
+            raise ValueError(
+                f"dsprites device sampler covers the default 5-slider "
+                f"vocabulary; got n_attr={n_attr} (use --attrList subsets "
+                f"via the host sampler)"
+            )
+        return jnp.ones((batch, n_attr), jnp.float32) * a, a
 
     def train_alpha_np(self, rng, batch, n_attr=None, attr_list=None):
         attr_list = attr_list or ["scale", "x", "y", "posx", "posy"]
@@ -123,6 +142,20 @@ TASKS = {
     "chair": ChairTransform,
     "dsprites": DspritesTransform,
 }
+
+
+def task_kwargs_from_options(opt) -> dict:
+    """Transform-specific constructor kwargs from the grouped option
+    namespaces (the reference forwards opt.color.channel into graph kwargs,
+    utils/util.py:115-116). Accepts argparse Namespaces or yaml dicts."""
+    kw: dict = {}
+    if getattr(opt, "transform", "") in ("color", "colorlab"):
+        grp = getattr(opt, "color", None)
+        ch = (grp.get("channel") if isinstance(grp, dict)
+              else getattr(grp, "channel", None))
+        if ch is not None:
+            kw["channel"] = int(ch)
+    return kw
 
 
 def get_task(transform: str, walk_type: str = "linear", nsliders: int = 1, **kw) -> Task:

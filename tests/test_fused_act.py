@@ -48,3 +48,11 @@ def test_gradients():
     np.testing.assert_allclose(
         float(gb[5]), (float(f(x, bp)) - f0) / eps, rtol=5e-2, atol=5e-2
     )
+
+
+def test_pallas_impl_accepts_none_bias():
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 128))
+    want = fused_leaky_relu(x, None)
+    got = fused_leaky_relu(x, None, impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5,
+                               atol=1e-5)

@@ -120,3 +120,27 @@ def test_dsprites_composite_sliders():
     assert vals.shape == (5,)
     assert any(abs(float(vals[0]) - s) < 1e-6 for s in t.SCALE_LADDER)
     assert 0 <= vals[3] <= 1 and 0 <= vals[4] <= 1
+
+
+def test_dsprites_device_sampler_matches_np_composition():
+    """The jitted trainer's device-side dsprites sampler must follow the
+    reference composition (discrete scale ladder, two x sliders, posx/posy
+    in [0,1]) — not the base U(-1,1)^n."""
+    import jax
+
+    from latent2im_tpu.tasks.transforms import DspritesTransform
+
+    task = DspritesTransform()
+    sliders = []
+    for i in range(64):
+        s, a = task.train_alpha(jax.random.PRNGKey(i), 3, 5)
+        assert s.shape == (3, 5) and a.shape == (5,)
+        sliders.append(np.asarray(a))
+    arr = np.stack(sliders)
+    ladder = np.asarray([0.5, 0.6, 0.7, 0.8, 0.9, 1.0], np.float32)
+    assert np.all(np.min(np.abs(arr[:, 0, None] - ladder), axis=1) < 1e-6)
+    assert arr[:, 1].min() < 0 < arr[:, 1].max()  # x sliders span [-1,1]
+    assert arr[:, 3].min() >= 0 and arr[:, 4].min() >= 0  # pos in [0,1]
+    # np sampler agrees on shape
+    s_np, a_np = task.train_alpha_np(np.random.RandomState(0), 3)
+    assert s_np.shape == (3, 5)

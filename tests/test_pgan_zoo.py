@@ -131,3 +131,38 @@ def test_pgan_zoo_discriminator():
 
     g = jax.grad(loss)(img)
     assert float(jnp.sum(jnp.abs(g))) > 0
+
+
+def test_minibatch_stddev_zoo_contiguous_unbiased():
+    """Zoo miniBatchStdDev groups CONTIGUOUSLY with unbiased variance and
+    assigns each group's stat to its own members (mini_batch_stddev_module
+    semantics)."""
+    from latent2im_tpu.models.pgan_zoo import _minibatch_stddev_zoo
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(8, 4, 4, 2).astype(np.float32)
+    out = np.asarray(_minibatch_stddev_zoo(jnp.asarray(x)))
+    assert out.shape == (8, 4, 4, 3)
+    for gi in range(2):  # groups {0..3}, {4..7}
+        grp = x[gi * 4 : (gi + 1) * 4]
+        want = np.sqrt(grp.var(axis=0, ddof=1) + 1e-8).mean()
+        np.testing.assert_allclose(out[gi * 4 : (gi + 1) * 4, :, :, 2],
+                                   want, rtol=1e-5)
+
+
+def test_zoo_discriminator_no_bool_leaves():
+    """Param pytrees hold only float array leaves (repo jit-argument rule);
+    the std-channel choice is inferred from group0_conv's input width."""
+    import jax as _jax
+
+    from latent2im_tpu.models import pgan_zoo as pz
+
+    for mb in (True, False):
+        params = pz.init_discriminator(_jax.random.PRNGKey(0),
+                                       depths=(16, 16, 16),
+                                       minibatch_stddev=mb)
+        for leaf in _jax.tree_util.tree_leaves(params):
+            assert hasattr(leaf, "dtype"), f"non-array leaf: {leaf!r}"
+        img = _jax.random.normal(_jax.random.PRNGKey(1), (4, 16, 16, 3))
+        out = pz.discriminator_forward(params, img)
+        assert out.shape[0] == 4

@@ -17,7 +17,7 @@ def test_generator_resolution_ladder():
     params = pgg.init_generator(key, n_label=0)
     z = jax.random.normal(jax.random.PRNGKey(1), (2, 512))
     for step in (0, 1, 2):
-        img = pgg.generator_forward(params, z, step=step)
+        img = pgg.generator_forward(params, z, step=step, alpha=1.0)
         res = pgg.step_to_resolution(step)
         assert img.shape == (2, res, res, 3)
         assert np.all(np.isfinite(np.asarray(img)))
@@ -40,7 +40,7 @@ def test_discriminator_shapes():
     key = jax.random.PRNGKey(0)
     params = pgg.init_discriminator(key)
     img = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 16, 3))
-    score, labels = pgg.discriminator_forward(params, img, step=2)
+    score, labels = pgg.discriminator_forward(params, img, step=2, alpha=1.0)
     assert score.shape == (4,)
     assert labels.shape == (4, 10)
 
@@ -159,7 +159,8 @@ def test_pggan_generator_matches_torch_oracle():
     z = np.random.RandomState(0).randn(2, 502).astype(np.float32)
     with torch.no_grad():
         want = tm(torch.from_numpy(z), step=2).numpy()
-    got = pgg.generator_forward(params, jnp.asarray(z), step=2)
+    # the torch oracle models the unblended (alpha outside [0,1)) branch
+    got = pgg.generator_forward(params, jnp.asarray(z), step=2, alpha=1.0)
     from helpers import assert_close
 
     assert_close(np.transpose(np.asarray(got), (0, 3, 1, 2)), want,
@@ -197,3 +198,29 @@ def test_pggan_editor_train_step():
     walk, state, metrics = step(walk, state, z, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
     assert not np.allclose(np.asarray(walk["w"]), w0)
+
+
+def test_discriminator_std_channel_unbiased():
+    """The batch-std channel uses torch's UNBIASED std (input.std(0),
+    model_256.py:335)."""
+    key = jax.random.PRNGKey(0)
+    params = pgg.init_discriminator(key)
+    img = np.random.RandomState(0).randn(4, 4, 4, 3).astype(np.float32)
+    want_stat = float(torch.from_numpy(img).std(0).mean())  # ddof=1
+    got_stat = float(jnp.mean(jnp.std(jnp.asarray(img), axis=0, ddof=1)))
+    np.testing.assert_allclose(got_stat, want_stat, rtol=1e-5)
+    # and the forward still runs with the std channel in place
+    score, _ = pgg.discriminator_forward(params, jnp.asarray(img), step=0)
+    assert np.isfinite(np.asarray(score)).all()
+
+
+def test_generator_default_alpha_matches_reference_call_sites():
+    """netG(z) in the reference uses model_256.py's defaults (step=6,
+    alpha=0), whose blend outputs the PREVIOUS resolution's rgb head —
+    the default here must reproduce that."""
+    key = jax.random.PRNGKey(0)
+    params = pgg.init_generator(key, n_label=0)
+    z = jax.random.normal(jax.random.PRNGKey(1), (1, 512))
+    default = pgg.generator_forward(params, z, step=2)
+    prev = pgg.generator_forward(params, z, step=2, alpha=0.0)
+    np.testing.assert_allclose(np.asarray(default), np.asarray(prev))
