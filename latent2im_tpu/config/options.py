@@ -49,6 +49,10 @@ def _build_train_parser() -> argparse.ArgumentParser:
     parser.add_argument("--gpu", default="", type=str,
                         help="kept for CLI parity; device selection is JAX-native")
     parser.add_argument("--trainEmbed", action="store_true")
+    parser.add_argument("--is_mlp", action="store_true",
+                        help="select the MLP walk variants (the reference's "
+                        "hardcoded self.is_mlp=False toggle, "
+                        "transform_base.py:291, exposed)")
     parser.add_argument("--updateGAN", action="store_true")
     parser.add_argument("--attrList", type=str)
     parser.add_argument("--attrPath", type=str, default="")

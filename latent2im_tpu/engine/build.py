@@ -40,7 +40,8 @@ def build_editor_from_options(opt, seed: int = 0):
     model = opt.model
     latent = opt.stylegan.latent if "stylegan" in model else "z"
     walk_kind = resolve_walk_kind(
-        model, opt.walk_type, latent, train_embed=opt.trainEmbed
+        model, opt.walk_type, latent, train_embed=opt.trainEmbed,
+        is_mlp=getattr(opt, "is_mlp", False),
     )
     attr_list, attr_table = attrs.build_attr_vocab(
         opt.transform, attr_path=opt.attrPath, attr_list=opt.attrList

@@ -37,16 +37,23 @@ def make_train_step(
     task: Task,
     optimizer: optax.GradientTransformation,
     mesh=None,
+    host_alpha: bool = False,
 ) -> Callable:
     """Returns step(walk_params, opt_state, z_batch, key) ->
-    (walk_params, opt_state, metrics)."""
+    (walk_params, opt_state, metrics).
+
+    host_alpha=True switches alpha-target sampling from the device-side
+    folded-key path to an explicit `sampled` argument the host provides
+    (e.g. via task.train_alpha_np) — the reference's exact host-numpy
+    sampling semantics (train.py:48-58), and the hook the torch
+    training-dynamics parity test injects through."""
     cfg = editor.cfg
     n_attr = len(cfg.attr_list)
     # Frozen towers travel as jit ARGUMENTS (closures would embed them as HLO
     # constants — hundreds of MB of program payload at full size).
     frozen_host = editor.frozen_params()
 
-    def loss_fn(walk_params, z, key, frozen):
+    def loss_fn(walk_params, z, key, frozen, host_sampled=None):
         ed = editor.with_params(frozen)
         k_alpha, k_n1, k_n2 = jax.random.split(key, 3)
         # Fresh noise per forward matches the reference's randomize_noise=True
@@ -61,7 +68,10 @@ def make_train_step(
         img_org = ed.synthesize(latent, noise_key=nk1)
         alpha_org = ed.regress(img_org)
 
-        sampled, _ = task.train_alpha(k_alpha, z.shape[0], n_attr)
+        if host_sampled is None:
+            sampled, _ = task.train_alpha(k_alpha, z.shape[0], n_attr)
+        else:
+            sampled = host_sampled
         target, delta = ed.unified_alphas(alpha_org, sampled)
 
         # The walk input: stylegan feeds the delta (train.py:101 via
@@ -108,34 +118,49 @@ def make_train_step(
         }
         return total, metrics
 
-    def step5(walk_params, opt_state, z, key, frozen):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            walk_params, z, key, frozen
-        )
-        updates, opt_state = optimizer.update(grads, opt_state, walk_params)
-        walk_params = optax.apply_updates(walk_params, updates)
-        return walk_params, opt_state, metrics
+    if host_alpha:
+        def step_fn(walk_params, opt_state, z, key, sampled, frozen):
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                walk_params, z, key, frozen, sampled
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, walk_params)
+            walk_params = optax.apply_updates(walk_params, updates)
+            return walk_params, opt_state, metrics
+    else:
+        def step_fn(walk_params, opt_state, z, key, frozen):
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                walk_params, z, key, frozen
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, walk_params)
+            walk_params = optax.apply_updates(walk_params, updates)
+            return walk_params, opt_state, metrics
 
     if mesh is not None:
         repl = meshlib.replicated(mesh)
         data = meshlib.batch_sharding(mesh)
+        in_sh = ((repl, repl, data, repl, data, repl) if host_alpha
+                 else (repl, repl, data, repl, repl))
         jit_step = jax.jit(
-            step5,
-            in_shardings=(repl, repl, data, repl, repl),
+            step_fn,
+            in_shardings=in_sh,
             out_shardings=(repl, repl, repl),
             donate_argnums=(0, 1),
         )
         frozen_dev = meshlib.replicate(mesh, frozen_host)
     else:
-        jit_step = jax.jit(step5, donate_argnums=(0, 1))
+        jit_step = jax.jit(step_fn, donate_argnums=(0, 1))
         frozen_dev = jax.device_put(frozen_host)
 
-    def step(walk_params, opt_state, z, key, frozen=None):
+    def step(walk_params, opt_state, z, key, frozen=None, sampled=None):
         """frozen: optional live override of the frozen towers (e.g. a
         jointly fine-tuned G under --updateGAN); defaults to the build-time
-        params."""
-        return jit_step(walk_params, opt_state, z, key,
-                        frozen_dev if frozen is None else frozen)
+        params. sampled: the host-sampled alpha batch (host_alpha mode)."""
+        fr = frozen_dev if frozen is None else frozen
+        if host_alpha:
+            if sampled is None:
+                raise ValueError("host_alpha step requires the sampled batch")
+            return jit_step(walk_params, opt_state, z, key, sampled, fr)
+        return jit_step(walk_params, opt_state, z, key, fr)
 
     return step
 

@@ -273,19 +273,39 @@ REGISTRY: dict[str, tuple[Callable, Callable, str]] = {
 
 def resolve_walk_kind(model: str, walk_type: str, latent: str, train_embed: bool = False,
                       is_mlp: bool = False) -> str:
-    """Map reference CLI coordinates (--model/--walk_type/--latent/--trainEmbed)
-    to a walk kind (selection logic of transform_base.py:297-327 and pggan
-    transform_base.py:265-276)."""
-    if train_embed:
-        return "embed"
+    """Map reference CLI coordinates (--model/--walk_type/--latent/--trainEmbed/
+    is_mlp) to a walk kind, cell-for-cell with the reference's selection
+    (transform_base.py:296-327 and pggan transform_base.py:265-276).
+
+    is_mlp is the reference's hardcoded ``self.is_mlp = False`` toggle
+    (transform_base.py:291, "TODO: Hard code") exposed as an option —
+    it unlocks the mlp_w / mlp_z modules the reference defines but leaves
+    unreachable. The reference raises NotImplementedError for a linear
+    z-space walk without it (:305-308); reproduced."""
     if model == "pggan":
+        # the pggan engine ignores trainEmbed for selection (:265-276);
+        # its embed bank is reached through get_z_new_tensor's name/index
+        # path, not the constructor
+        if train_embed:
+            return "embed"
         return "linear_z_free" if walk_type == "linear" else "mlp_z3"
-    # stylegan family
-    if walk_type.startswith("NN"):
+    # stylegan family: NN walks ignore trainEmbed (:325-327 elif ordering)
+    if "NN" in walk_type:
         return "nn_w"
-    if latent == "z":
-        return "mlp_z"
-    return "mlp_w" if is_mlp else "linear_w"
+    if walk_type == "linear":
+        if train_embed:
+            return "embed"
+        if latent == "z":
+            if is_mlp:
+                return "mlp_z"
+            raise NotImplementedError(
+                "linear z-space walk without is_mlp is unimplemented in the "
+                "reference (transform_base.py:305-308)"
+            )
+        if latent == "w":
+            return "mlp_w" if is_mlp else "linear_w"
+        raise NotImplementedError(f"unknown latent space {latent!r}")
+    raise NotImplementedError(f"unknown walk_type {walk_type!r}")
 
 
 def init_walk(key, kind, dim_z, n_layers, attr_list, nsliders=1) -> Params:

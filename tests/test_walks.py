@@ -85,14 +85,42 @@ def test_embed_walk():
 
 
 def test_resolver_matrix():
-    # capability matrix {model} x {walk_type} x {latent} (SURVEY §1)
-    assert resolve_walk_kind("stylegan_v2_real", "linear", "w") == "linear_w"
-    assert resolve_walk_kind("stylegan_v2_real", "linear", "w", is_mlp=True) == "mlp_w"
-    assert resolve_walk_kind("stylegan_v2_real", "NNz", "w") == "nn_w"
-    assert resolve_walk_kind("stylegan_v2_real", "linear", "z", is_mlp=True) == "mlp_z"
-    assert resolve_walk_kind("pggan", "linear", "z") == "linear_z_free"
-    assert resolve_walk_kind("pggan", "NNz", "z") == "mlp_z3"
-    assert resolve_walk_kind("stylegan_v2_real", "linear", "w", train_embed=True) == "embed"
+    """Full selection table, cell-for-cell with the reference's constructor
+    branching (transform_base.py:296-327, pggan transform_base.py:265-276)."""
+    SG = "stylegan_v2_real"
+    # (model, walk_type, latent, train_embed, is_mlp) -> kind | raises
+    table = {
+        # stylegan linear family (:297-320)
+        (SG, "linear", "w", False, False): "linear_w",
+        (SG, "linear", "w", False, True): "mlp_w",
+        (SG, "linear", "w", True, False): "embed",
+        (SG, "linear", "w", True, True): "embed",
+        (SG, "linear", "z", False, True): "mlp_z",
+        (SG, "linear", "z", True, False): "embed",
+        # reference raises for linear+z without is_mlp (:305-308)
+        (SG, "linear", "z", False, False): NotImplementedError,
+        # unknown latent raises (:321-323)
+        (SG, "linear", "y", False, False): NotImplementedError,
+        # NN branch ignores trainEmbed/is_mlp/latent (:325-327 elif order)
+        (SG, "NNz", "w", False, False): "nn_w",
+        (SG, "NNz", "w", True, False): "nn_w",
+        (SG, "NNz", "z", False, True): "nn_w",
+        # unknown walk_type falls off the reference if/elif silently; we raise
+        (SG, "spline", "w", False, False): NotImplementedError,
+        # pggan (pggan transform_base.py:265-276; embed via the
+        # name/index bank path, kept selectable under trainEmbed)
+        ("pggan", "linear", "z", False, False): "linear_z_free",
+        ("pggan", "NNz", "z", False, False): "mlp_z3",
+        ("pggan", "mlp", "z", False, False): "mlp_z3",
+        ("pggan", "linear", "z", True, False): "embed",
+    }
+    for (model, wt, lat, emb, mlp), want in table.items():
+        if want is NotImplementedError:
+            with pytest.raises(NotImplementedError):
+                resolve_walk_kind(model, wt, lat, train_embed=emb, is_mlp=mlp)
+        else:
+            got = resolve_walk_kind(model, wt, lat, train_embed=emb, is_mlp=mlp)
+            assert got == want, (model, wt, lat, emb, mlp, got, want)
     for kind in REGISTRY:
         assert walk_space(kind) in ("w", "z")
 
