@@ -55,6 +55,17 @@ def run(opt, n_epoch_default: int = N_EPOCH_SINGLE, save_loss_artifacts: bool = 
     task = get_task(opt.transform, walk_type=opt.walk_type,
                     nsliders=len(info["attr_list"]),
                     **task_kwargs_from_options(opt))
+    # Steerability-lineage transforms (zoom/shift/rotate/color...) train the
+    # masked-L2 objective against host-warped targets, not the regressor BCE
+    # (pggan transform_base.py:344-349, :388-394) — silently BCE-ing a face
+    # regressor against color sliders would train garbage.
+    geometric = hasattr(task, "get_target_np")
+    if geometric and opt.updateGAN:
+        raise SystemExit(
+            "--updateGAN with a geometric transform is unsupported: the "
+            "masked-L2 walk objective has no GAN term (reference legacy "
+            "engine trains these without joint GAN updates)"
+        )
 
     start_epoch, opt_state = 0, None
     if getattr(opt, "resume", False):
@@ -91,7 +102,9 @@ def run(opt, n_epoch_default: int = N_EPOCH_SINGLE, save_loss_artifacts: bool = 
         )
         step_counter["n"] += 1
         gan_state["walk"] = current_walk  # --updateGAN edits with the live walk
-        if save_freq and i % save_freq == 0:
+        if save_freq and i % save_freq == 0 and not geometric:
+            # apply_alpha regresses attribute targets — meaningless for
+            # pixel-warp objectives; geometric sample grids come from vis_w
             _save_samples(editor, current_walk, output_dir, epoch, i, batch)
 
     def on_epoch_end(epoch, wp, st):
@@ -137,24 +150,44 @@ def run(opt, n_epoch_default: int = N_EPOCH_SINGLE, save_loss_artifacts: bool = 
 
     try:
         with logmod.profile_trace(getattr(opt, "profile_dir", "")):
-            walk_params, history = train_loop(
-                editor,
-                task,
-                walk_params,
-                num_samples=opt.num_samples,
-                batch_size=batch,
-                n_epochs=n_epochs,
-                lr=opt.learning_rate,
-                mesh=mesh,
-                log_every=1,
-                on_step=on_step,
-                on_epoch_end=on_epoch_end,
-                start_epoch=start_epoch,
-                opt_state=opt_state,
-                frozen_provider=frozen_provider,
-                stop_flag=lambda: stop_box["stop"],
-                on_preempt=on_preempt,
-            )
+            if geometric:
+                from ..engine.train import geometric_train_loop
+
+                walk_params, history = geometric_train_loop(
+                    editor,
+                    task,
+                    walk_params,
+                    num_samples=opt.num_samples,
+                    batch_size=batch,
+                    n_epochs=n_epochs,
+                    lr=opt.learning_rate,
+                    log_every=1,
+                    on_step=on_step,
+                    on_epoch_end=on_epoch_end,
+                    start_epoch=start_epoch,
+                    opt_state=opt_state,
+                    stop_flag=lambda: stop_box["stop"],
+                    on_preempt=on_preempt,
+                )
+            else:
+                walk_params, history = train_loop(
+                    editor,
+                    task,
+                    walk_params,
+                    num_samples=opt.num_samples,
+                    batch_size=batch,
+                    n_epochs=n_epochs,
+                    lr=opt.learning_rate,
+                    mesh=mesh,
+                    log_every=1,
+                    on_step=on_step,
+                    on_epoch_end=on_epoch_end,
+                    start_epoch=start_epoch,
+                    opt_state=opt_state,
+                    frozen_provider=frozen_provider,
+                    stop_flag=lambda: stop_box["stop"],
+                    on_preempt=on_preempt,
+                )
     finally:
         signal.signal(signal.SIGTERM, prev_handler)
     if stop_box.get("preempted"):

@@ -43,10 +43,20 @@ def build_editor_from_options(opt, seed: int = 0):
         model, opt.walk_type, latent, train_embed=opt.trainEmbed,
         is_mlp=getattr(opt, "is_mlp", False),
     )
-    attr_list, attr_table = attrs.build_attr_vocab(
-        opt.transform, attr_path=opt.attrPath, attr_list=opt.attrList
-    )
-    attr_idx = attrs.attr_indices(attr_list, attr_table)
+    from ..tasks.geometric import GEOMETRIC_TASKS
+
+    if opt.transform in GEOMETRIC_TASKS:
+        # steerability-lineage transforms have no regressor vocabulary —
+        # one slider named after the transform (Nsliders=1 throughout the
+        # reference's legacy engine); the walk trains masked-L2, and the
+        # regressor/attr indices are never consulted.
+        attr_list, attr_idx = [opt.transform], [0]
+        attr_table = {opt.transform: 0}  # 1-output placeholder regressor head
+    else:
+        attr_list, attr_table = attrs.build_attr_vocab(
+            opt.transform, attr_path=opt.attrPath, attr_list=opt.attrList
+        )
+        attr_idx = attrs.attr_indices(attr_list, attr_table)
     layers = attrs.parse_layers(opt.layers)
 
     key = jax.random.PRNGKey(seed)

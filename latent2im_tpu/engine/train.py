@@ -189,7 +189,8 @@ def make_geometric_train_step(
         latent_new = ed.edit(walk_params, latent, alpha_graph)
         img_new = ed.synthesize(latent_new)
         loss = L.masked_l2(img_new, target, mask)
-        return loss, {"loss": loss}
+        return loss, {"loss": loss,
+                      "alpha_target_mean": jnp.mean(alpha_graph)}
 
     def step6(walk_params, opt_state, z, alpha_graph, target, mask, frozen):
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -206,6 +207,78 @@ def make_geometric_train_step(
                         frozen_dev)
 
     return step
+
+
+def geometric_train_loop(
+    editor: Editor,
+    task: Task,
+    walk_params,
+    *,
+    num_samples: int,
+    batch_size: int,
+    n_epochs: int,
+    lr: float,
+    seed: int = 0,
+    log_every: int = 10,
+    on_step: Callable | None = None,
+    on_epoch_end: Callable | None = None,
+    start_epoch: int = 0,
+    opt_state=None,
+    stop_flag: Callable | None = None,
+    on_preempt: Callable | None = None,
+) -> tuple[Any, list[float]]:
+    """Epoch loop for the steerability-lineage geometric/color transforms —
+    the reference's legacy masked-L2 objective (pggan transform_base.py:
+    344-349 host warp + :388-394 loss): synthesize the original on device,
+    warp it on host with task.get_target_np, take one jitted masked-L2 step.
+
+    Same callback/resume surface as train_loop. The host-warp stage makes
+    this a per-host loop (no mesh); the alpha/RandomState streams reseed per
+    epoch so --resume restarts an epoch reproducibly."""
+    optimizer = make_optimizer(lr)
+    if opt_state is None:
+        opt_state = optimizer.init(walk_params)
+    step = make_geometric_train_step(editor, optimizer)
+
+    cfg = editor.cfg
+    frozen_dev = jax.device_put(editor.frozen_params())
+
+    def _orig(frozen, z):
+        ed = editor.with_params(frozen)
+        latent = ed.get_w(z) if cfg.latent == "w" else z
+        return ed.synthesize(latent)
+
+    orig_fn = jax.jit(_orig)
+
+    history: list[float] = []
+    for epoch in range(start_epoch, n_epochs):
+        zs = sample_epoch_z(num_samples, cfg.dim_z, seed=epoch)
+        rng = np.random.RandomState(seed * 100003 + epoch)
+        iters = num_samples // batch_size
+        for i in range(iters):
+            if stop_flag is not None and stop_flag():
+                if on_preempt is not None:
+                    on_preempt(epoch, walk_params, opt_state)
+                return walk_params, history
+            t0 = time.time()
+            z = jnp.asarray(zs[i * batch_size : (i + 1) * batch_size])
+            img_org = np.asarray(orig_fn(frozen_dev, z), np.float32)
+            alpha_graph, alpha_target = task.train_alpha_np(rng, batch_size)
+            target, mask = task.get_target_np(img_org, alpha_target)
+            walk_params, opt_state, metrics = step(
+                walk_params, opt_state, z,
+                jnp.asarray(alpha_graph, np.float32),
+                jnp.asarray(target, np.float32),
+                jnp.asarray(mask, np.float32),
+            )
+            if on_step is not None or (log_every and i % log_every == 0):
+                metrics = jax.device_get(metrics)
+                history.append(float(metrics["loss"]))
+                if on_step is not None:
+                    on_step(epoch, i, metrics, time.time() - t0, walk_params)
+        if on_epoch_end is not None:
+            on_epoch_end(epoch, walk_params, opt_state)
+    return walk_params, history
 
 
 def sample_epoch_z(num_samples: int, dim_z: int, seed: int) -> np.ndarray:
