@@ -29,6 +29,43 @@ import jax.numpy as jnp
 # See BASELINE.md "Measured baselines" for the derivation.
 A100_EDIT_IMG_S = 12.0
 
+# Dense bf16 peak per chip, by jax device_kind. MFU denominator; see
+# BASELINE.md "FLOP accounting".
+PEAK_TFLOPS = {
+    "TPU v5 lite": 197.0,   # v5e
+    "TPU v4": 275.0,
+    "TPU v5": 459.0,        # v5p
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,   # Trillium
+}
+
+
+def _program_flops(compiled) -> float | None:
+    """Total FLOPs of a compiled XLA program (MACs counted as 2, i.e. the
+    standard model-FLOP convention) via XLA's own cost model."""
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        f = float(ca.get("flops", 0.0))
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def _mfu_fields(prefix: str, flops_per_call, calls_per_s) -> dict:
+    dev = jax.devices()[0].device_kind
+    peak = PEAK_TFLOPS.get(dev)
+    out = {}
+    if flops_per_call:
+        tflops_s = flops_per_call * calls_per_s / 1e12
+        out[f"{prefix}tflops_per_s"] = round(tflops_s, 2)
+        if peak:
+            out[f"{prefix}mfu"] = round(tflops_s / peak, 4)
+    if peak and not out.get("peak_tflops_noted"):
+        out["peak_tflops"] = peak
+        out["device_kind"] = dev
+    return out
+
 # B=8 was the pre-fast-tail HBM limit; the s2d tail freed enough activation
 # memory for 16 (round 1) and now 32 (measured 137.7 vs 130.0 img/s at 16).
 BATCH = 32
@@ -71,15 +108,23 @@ def bench_train():
     step = make_train_step(ed, get_task("face"), opt)
 
     z = jax.random.normal(jax.random.PRNGKey(1), (TRAIN_BATCH, 512))
+    # ONE compile, used for the timed loop AND the FLOP accounting (a second
+    # lower().compile() would double the dominant compile cost)
+    compiled = step.jit_fn.lower(
+        walk, state, z, jax.random.PRNGKey(0), step.frozen_dev
+    ).compile()
+    flops = _program_flops(compiled)
     for i in range(TRAIN_WARMUP):
-        walk, state, metrics = step(walk, state, z, jax.random.PRNGKey(i))
+        walk, state, metrics = compiled(walk, state, z, jax.random.PRNGKey(i),
+                                        step.frozen_dev)
         float(metrics["loss"])
     t0 = time.perf_counter()
     for i in range(TRAIN_ITERS):
-        walk, state, metrics = step(walk, state, z, jax.random.PRNGKey(i))
+        walk, state, metrics = compiled(walk, state, z, jax.random.PRNGKey(i),
+                                        step.frozen_dev)
     float(metrics["loss"])  # host sync; steps serialize on the device queue
     dt = time.perf_counter() - t0
-    return TRAIN_ITERS / dt, TRAIN_ITERS * TRAIN_BATCH / dt
+    return TRAIN_ITERS / dt, TRAIN_ITERS * TRAIN_BATCH / dt, flops
 
 
 def main():
@@ -101,13 +146,19 @@ def main():
     ed = Editor(cfg, g, reg_params=reg)
     walk = init_walk(kw, "linear_w", 512, cfg.n_latent, ["Smiling"])
 
+    # Frozen towers travel as jit ARGUMENTS: closing over them embeds every
+    # weight as an HLO constant, which made tracing alone take ~220s at
+    # 1024px (and risks the compile tunnel's payload limit).
+    frozen = jax.device_put(ed.frozen_params())
+
     @jax.jit
-    def edit_step(walk_params, z, alpha_target):
-        latent = ed.get_w(z)
-        orig = ed.synthesize(latent)
-        alpha_org = ed.regress(orig)
+    def edit_step(walk_params, z, alpha_target, fr):
+        e = ed.with_params(fr)
+        latent = e.get_w(z)
+        orig = e.synthesize(latent)
+        alpha_org = e.regress(orig)
         delta = alpha_target - alpha_org
-        edited = ed.synthesize(ed.edit(walk_params, latent, delta))
+        edited = e.synthesize(e.edit(walk_params, latent, delta))
         # the image is a jit OUTPUT, so every iteration fully materializes
         # it; the host-scalar sync happens once after the timed loop (an
         # in-graph per-iter checksum was 2.8 ms of pure reduction overhead)
@@ -116,34 +167,42 @@ def main():
     z = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 512))
     alpha = jnp.full((BATCH, 1), 0.9, jnp.float32)
 
+    # single AOT compile reused for the timed loop and the FLOP accounting
+    compiled = edit_step.lower(walk, z, alpha, frozen).compile()
+    edit_flops = _program_flops(compiled)
+
     for _ in range(WARMUP):
-        out = edit_step(walk, z, alpha)
+        out = compiled(walk, z, alpha, frozen)
     float(jnp.sum(out.astype(jnp.float32)))  # host sync
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        out = edit_step(walk, z, alpha)
+        out = compiled(walk, z, alpha, frozen)
     # sync once at the end; steps serialize on the device queue
     float(jnp.sum(out.astype(jnp.float32)))
     dt = time.perf_counter() - t0
 
     imgs_per_sec = BATCH * ITERS / dt
+    rec = {
+        "metric": f"stylegan2_{SIZE}px_edit_inference_throughput",
+        "value": round(imgs_per_sec, 3),
+        "unit": "img/s",
+        "vs_baseline": round(imgs_per_sec / A100_EDIT_IMG_S, 3),
+    }
+    rec.update(_mfu_fields("", edit_flops, imgs_per_sec / BATCH if edit_flops
+                           else 0))
+    if edit_flops:
+        rec["flops_per_img"] = round(edit_flops / BATCH / 1e9, 2)  # GFLOP
 
-    train_steps_s, train_samples_s = bench_train()
-    print(
-        json.dumps(
-            {
-                "metric": f"stylegan2_{SIZE}px_edit_inference_throughput",
-                "value": round(imgs_per_sec, 3),
-                "unit": "img/s",
-                "vs_baseline": round(imgs_per_sec / A100_EDIT_IMG_S, 3),
-                "train_steps_per_s": round(train_steps_s, 3),
-                "train_samples_per_s": round(train_samples_s, 3),
-                "train_batch": TRAIN_BATCH,
-                "train_size_px": TRAIN_SIZE,
-            }
-        )
-    )
+    train_steps_s, train_samples_s, train_flops = bench_train()
+    rec.update({
+        "train_steps_per_s": round(train_steps_s, 3),
+        "train_samples_per_s": round(train_samples_s, 3),
+        "train_batch": TRAIN_BATCH,
+        "train_size_px": TRAIN_SIZE,
+    })
+    rec.update(_mfu_fields("train_", train_flops, train_steps_s))
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -123,8 +123,9 @@ def run(opt, conf):
         json.dump(
             {
                 "embedding": embed_name,
-                # provenance: 'reference' = raw 0-255 BICUBIC-resized inputs
-                # exactly as eval.py:144-155 (PIL default); 'whitened' = bilinear +
+                # provenance: 'reference' = raw 0-255 bicubic-resized inputs
+                # (eval.py:144-155 semantics; jax cubic != PIL BICUBIC
+                # bit-for-bit); 'whitened' = bilinear +
                 # (x-127.5)/128. Numbers from the two modes must not be
                 # cross-compared.
                 "embedding_preprocess": "reference" if ref_parity else "whitened",
@@ -139,9 +140,9 @@ def main():
     vo = VisOptions()
     vo.parser.add_argument("--facenet_path", type=str, default="")
     vo.parser.add_argument("--ref_parity", action="store_true",
-                           help="feed raw 0-255 BICUBIC-resized images to "
-                                "the identity embedding, exactly as the "
-                                "reference eval.py does")
+                           help="feed raw 0-255 bicubic-resized images to "
+                                "the identity embedding, matching the "
+                                "reference eval.py's preprocessing semantics")
     opt, conf = vo.parse()
     run(opt, conf)
 

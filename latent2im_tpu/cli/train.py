@@ -209,8 +209,12 @@ def run(opt, n_epoch_default: int = N_EPOCH_SINGLE, save_loss_artifacts: bool = 
 def _save_gan(mod, path):
     from ..io import checkpoint as ckpt
 
+    # optimizer states included so a preempted --updateGAN run resumes
+    # bit-exactly (same contract as the walk checkpoints)
     ckpt.save_pytree(
-        path, {"g": mod.g_params, "g_running": mod.g_running, "d": mod.d_params}
+        path, {"g": mod.g_params, "g_running": mod.g_running,
+               "d": mod.d_params, "g_opt_state": mod.g_opt_state,
+               "d_opt_state": mod.d_opt_state}
     )
 
 
@@ -243,11 +247,24 @@ def _make_gan_provider(editor, opt, mesh, gan_state, task):
     if getattr(opt, "resume", False) and os.path.isfile(resume_gan):
         from ..io import checkpoint as ckptmod
 
-        tree = ckptmod.load_gan_state(resume_gan)
+        like = {"g": mod.g_params, "g_running": mod.g_running,
+                "d": mod.d_params, "g_opt_state": mod.g_opt_state,
+                "d_opt_state": mod.d_opt_state}
+        try:
+            # structure-full restore: weights AND Adam moments, so a
+            # preempted-and-resumed fine-tune is bit-reproducible
+            tree = ckptmod.load_pytree(resume_gan, like)
+            mod.g_opt_state = tree["g_opt_state"]
+            mod.d_opt_state = tree["d_opt_state"]
+        except Exception:
+            # pre-optimizer-state checkpoint: weights only, moments restart
+            tree = ckptmod.load_gan_state(resume_gan)
+            logging.warning(
+                "old-format GAN checkpoint: optimizer moments reinitialized"
+            )
         mod.g_params, mod.g_running = tree["g"], tree["g_running"]
         if tree.get("d") is not None:
             mod.d_params = tree["d"]
-        # (GAN optimizer moments restart; the fine-tuned weights carry over)
         logging.info("restored fine-tuned GAN from %s", resume_gan)
     gan_state["module"] = mod
     n_attr = len(editor.cfg.attr_idx)

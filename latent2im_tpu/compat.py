@@ -96,6 +96,14 @@ class CompatGraph:
 
         self.walk, _, _ = ckpt.load_walk(save_path_w, self.walk,
                                          attr_list=getattr(self, "attrList", None))
+        if save_path_gan:
+            # fine-tuned GAN surface (reference load_multi_models under
+            # updateGAN, transform_base.py:501-509) — same swap cli/vis_w.py
+            # and cli/eval.py perform
+            g_new, d_new = ckpt.load_gan_checkpoint(save_path_gan)
+            self.editor.g_params = g_new
+            if d_new is not None:
+                self.editor.d_params = d_new
 
     def clip_ims(self, ims):
         from .engine.editor import clip_ims

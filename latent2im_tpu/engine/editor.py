@@ -242,20 +242,9 @@ class Editor:
 
         Returns (edited_img, alpha_org, orig_img).
         """
-        idx_pos = None
-        if index is not None:
-            # reference branch (:576-583): `index` is a regressor-table
-            # attribute id, mapped through the bank's attr_idx; an id the
-            # bank wasn't trained on is an error (the reference's
-            # attrIdx.index raises too) — silently editing a different
-            # column would be worse.
-            if index in self.cfg.attr_idx:
-                idx_pos = self.cfg.attr_idx.index(index)
-            else:
-                raise ValueError(
-                    f"attribute index {index} not in the trained bank "
-                    f"{self.cfg.attr_idx}"
-                )
+        # reference branch (:576-583): `index` is a regressor-table attribute
+        # id, mapped through the bank's attr_idx (an untrained id raises)
+        idx_pos = None if index is None else self._bank_position(index)
 
         def run(wp, z, ag, gw):
             if self.cfg.latent == "z":

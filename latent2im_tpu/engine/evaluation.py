@@ -106,11 +106,13 @@ def resize_for_embedding(
     """uint8 NHWC -> float resized to the facenet input size (160x160).
 
     Default: bilinear resize + facenet's own (x-127.5)/128 whitening — the
-    arguably-correct preprocessing. ref_parity=True reproduces the reference
-    eval.py EXACTLY (raw 0-255 values, PIL Image.resize with its default
-    BICUBIC filter, eval.py:144-155) for apples-to-apples comparison with
-    reference-reported identity numbers; the two modes are NOT
-    cross-comparable, so the CLI records which one produced the report.
+    arguably-correct preprocessing. ref_parity=True matches the reference
+    eval.py's preprocessing SEMANTICS (raw 0-255 values, bicubic resize,
+    eval.py:144-155) for close comparison with reference-reported identity
+    numbers — close, not bit-identical: jax.image.resize 'cubic' and PIL's
+    BICUBIC use different filter/edge implementations. The two modes are NOT
+    cross-comparable with each other, so the CLI records which one produced
+    the report.
     """
     x = jnp.asarray(imgs_u8, jnp.float32)
     if x.ndim == 3:

@@ -162,6 +162,10 @@ def make_train_step(
             return jit_step(walk_params, opt_state, z, key, sampled, fr)
         return jit_step(walk_params, opt_state, z, key, fr)
 
+    # exposed for AOT introspection (bench.py FLOP accounting via
+    # jit_fn.lower(...).compile().cost_analysis())
+    step.jit_fn = jit_step
+    step.frozen_dev = frozen_dev
     return step
 
 
@@ -318,7 +322,18 @@ def train_loop(
     optimizer = make_optimizer(lr)
     if opt_state is None:
         opt_state = optimizer.init(walk_params)
-    step = make_train_step(editor, task, optimizer, mesh=mesh)
+    # Probe the device-side alpha sampler once (eager): tasks whose device
+    # sampler can't express the configured vocabulary (e.g. dsprites
+    # --attrList subsets) fall back to host-numpy sampling via the
+    # host_alpha step — same statistics, reference-style host stream.
+    n_attr = len(editor.cfg.attr_list)
+    host_alpha = False
+    try:
+        task.train_alpha(jax.random.PRNGKey(0), 1, n_attr)
+    except Exception:
+        host_alpha = True
+    step = make_train_step(editor, task, optimizer, mesh=mesh,
+                           host_alpha=host_alpha)
     if mesh is not None:
         walk_params = meshlib.replicate(mesh, walk_params)
         opt_state = meshlib.replicate(mesh, opt_state)
@@ -328,6 +343,7 @@ def train_loop(
     it_global = start_epoch * (num_samples // batch_size)
     for epoch in range(start_epoch, n_epochs):
         zs = sample_epoch_z(num_samples, editor.cfg.dim_z, seed=epoch)
+        alpha_rng = np.random.RandomState(seed * 100003 + epoch)
         iters = num_samples // batch_size
         for i in range(iters):
             if stop_flag is not None and stop_flag():
@@ -340,8 +356,22 @@ def train_loop(
                 z = meshlib.shard_batch(mesh, z)
             step_key = jax.random.fold_in(key, it_global)
             frozen = frozen_provider(epoch, i) if frozen_provider else None
+            sampled = None
+            if host_alpha:
+                try:
+                    sampled, _ = task.train_alpha_np(
+                        alpha_rng, batch_size, n_attr,
+                        attr_list=list(editor.cfg.attr_list),
+                    )
+                except TypeError:  # samplers without an attr_list kwarg
+                    sampled, _ = task.train_alpha_np(alpha_rng, batch_size,
+                                                     n_attr)
+                sampled = np.asarray(sampled, np.float32)
+                if mesh is not None:
+                    sampled = meshlib.shard_batch(mesh, sampled)
             walk_params, opt_state, metrics = step(
-                walk_params, opt_state, z, step_key, frozen=frozen
+                walk_params, opt_state, z, step_key, frozen=frozen,
+                sampled=sampled,
             )
             if on_step is not None or (log_every and i % log_every == 0):
                 metrics = jax.device_get(metrics)

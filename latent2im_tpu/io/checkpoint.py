@@ -122,6 +122,12 @@ def load_gan_checkpoint(path: str):
         sd = ckpt_t.get("g_ema", ckpt_t.get("g", ckpt_t))
         # infer size from the number of to_rgbs keys
         n_rgb = len({k.split(".")[1] for k in sd if k.startswith("to_rgbs.")})
+        if n_rgb == 0:
+            raise ValueError(
+                f"{path}: no 'to_rgbs.*' keys in the state dict — expected a "
+                "rosinality-layout StyleGAN2 generator (g_ema/g) checkpoint; "
+                f"top-level keys: {sorted(sd)[:8]}..."
+            )
         size = 4 * 2 ** n_rgb
         g = convert_stylegan2_generator(sd, size)
         d = None
@@ -141,17 +147,23 @@ def load_gan_state(path: str) -> dict:
     return _relistify(tree)
 
 
-def _relistify(tree):
+# pytree keys whose values are Python LISTS in this framework's model params
+# (sg2/pggan/resnet/walk trees). The digit-dict -> list conversion is scoped
+# to these so a future genuinely-str-digit-keyed dict elsewhere (e.g.
+# per-attribute banks named '0','1') survives a structure-free restore.
+_LIST_KEYS = {"style", "convs", "to_rgbs", "noises", "blocks", "layers", "mlp"}
+
+
+def _relistify(tree, parent_key: str | None = None):
     """msgpack_restore returns Python lists as {'0': ..., '1': ...} dicts;
-    convert those back to lists recursively."""
+    convert those back to lists under the known list-bearing keys."""
     if isinstance(tree, dict):
-        conv = {k: _relistify(v) for k, v in tree.items()}
-        keys = list(conv)
-        if keys and all(k.isdigit() for k in keys):
+        keys = list(tree)
+        if parent_key in _LIST_KEYS and keys and all(k.isdigit() for k in keys):
             idx = sorted(int(k) for k in keys)
             if idx == list(range(len(idx))):
-                return [conv[str(i)] for i in idx]
-        return conv
+                return [_relistify(tree[str(i)], parent_key) for i in idx]
+        return {k: _relistify(v, k) for k, v in tree.items()}
     return tree
 
 

@@ -107,8 +107,8 @@ class DspritesTransform(Task):
         if a.shape[0] != n_attr:
             raise ValueError(
                 f"dsprites device sampler covers the default 5-slider "
-                f"vocabulary; got n_attr={n_attr} (use --attrList subsets "
-                f"via the host sampler)"
+                f"vocabulary; got n_attr={n_attr} (train_loop probes this "
+                f"and falls back to the host sampler automatically)"
             )
         return jnp.ones((batch, n_attr), jnp.float32) * a, a
 

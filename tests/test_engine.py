@@ -208,6 +208,31 @@ def test_train_loop_smoke(editor):
     assert all(np.isfinite(h) for h in history)
 
 
+def test_train_loop_dsprites_subset_host_alpha_fallback():
+    """A dsprites --attrList subset the device sampler can't express must
+    fall back to host-numpy alpha sampling (train_loop probes the sampler),
+    not hard-error (VERDICT r2 Weak #7)."""
+    key = jax.random.PRNGKey(3)
+    kg, kr, kw = jax.random.split(key, 3)
+    g = sg2.init_generator(kg, SIZE, style_dim=STYLE_DIM, n_mlp=2,
+                           channels=TINY_CHANNELS)
+    cfg = EditorConfig(
+        attr_list=("scale", "posx"), attr_idx=(0, 3), size=SIZE,
+        dim_z=STYLE_DIM, walk_kind="linear_w",
+        no_content_loss=True, no_gan_loss=True,
+    )
+    ed = Editor(cfg, g, reg_params=_tiny_resnet_like(kr, n_out=5))
+    task = get_task("dsprites")
+    walk = init_walk(kw, "linear_w", STYLE_DIM, cfg.n_latent,
+                     ["scale", "posx"])
+    walk, history = train_loop(
+        ed, task, walk, num_samples=4, batch_size=2, n_epochs=1, lr=1e-3,
+        log_every=1,
+    )
+    assert len(history) == 2
+    assert all(np.isfinite(h) for h in history)
+
+
 def test_epoch_z_matches_reference_rng():
     """Reference: np.random.RandomState(seed).randn (graph_util.py:5-8)."""
     z = sample_epoch_z(4, 8, seed=3)
