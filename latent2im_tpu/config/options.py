@@ -71,6 +71,11 @@ def _build_train_parser() -> argparse.ArgumentParser:
     parser.add_argument("--stable_bce", action="store_true",
                         help="numerically-stable sigmoid BCE instead of the "
                              "reference's raw-output BCE")
+    parser.add_argument("--remat_g", action="store_true",
+                        help="rematerialize the edited-path G forward in the "
+                             "train-step backward (jax.checkpoint): ~1 extra "
+                             "G forward buys activation memory for larger "
+                             "batches")
     parser.add_argument("--n_epochs", type=int, default=None,
                         help="override epoch count (default 10 single / 3 multi)")
     parser.add_argument("--batch_size", type=int, default=4)

@@ -58,6 +58,10 @@ class EditorConfig:
     reg_input_size: int | None = None
     compute_dtype: Any = jnp.float32
     kernel_impl: str | None = None  # None|'xla'|'pallas' for ops dispatch
+    # Rematerialize the edited-path G forward in the train step's backward
+    # (jax.checkpoint): trades one extra G forward for not storing its
+    # activations — unlocks larger training batches when HBM-bound.
+    remat_g: bool = False
 
     @property
     def n_latent(self) -> int:

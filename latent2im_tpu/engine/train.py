@@ -83,7 +83,14 @@ def make_train_step(
             latent_new = ed.edit(walk_params, latent, delta)
         else:
             latent_new = ed.edit(walk_params, latent, sampled)
-        img_new = ed.synthesize(latent_new, noise_key=nk2)
+        if cfg.remat_g:
+            # recompute the edited-path G forward during backward instead of
+            # storing its activations (cfg.remat_g docstring)
+            img_new = jax.checkpoint(
+                lambda lat: ed.synthesize(lat, noise_key=nk2)
+            )(latent_new)
+        else:
+            img_new = ed.synthesize(latent_new, noise_key=nk2)
 
         preds = ed.regress(img_new)
         # stylegan trainers feed the sampled target to the BCE

@@ -208,6 +208,32 @@ def test_train_loop_smoke(editor):
     assert all(np.isfinite(h) for h in history)
 
 
+def test_remat_g_step_matches_plain_step(editor):
+    """cfg.remat_g only changes the backward's memory schedule — one step
+    must produce identical losses and walk updates."""
+    import dataclasses
+
+    task = get_task("face")
+    walk = init_walk(jax.random.PRNGKey(9), "linear_w", STYLE_DIM,
+                     editor.cfg.n_latent, ["Smiling"])
+    opt = make_optimizer(1e-3)
+    z = jnp.asarray(np.random.RandomState(0).randn(4, STYLE_DIM), jnp.float32)
+    key = jax.random.PRNGKey(4)
+
+    results = {}
+    for remat in (False, True):
+        ed = Editor(dataclasses.replace(editor.cfg, remat_g=remat),
+                    editor.g_params, reg_params=editor.reg_params,
+                    vgg_params=editor.vgg_params, d_params=editor.d_params)
+        step = make_train_step(ed, task, opt)
+        w2, _, m = step(jax.tree_util.tree_map(jnp.copy, walk),
+                        opt.init(walk), z, key)
+        results[remat] = (float(m["loss"]), np.asarray(w2["w"]))
+    assert np.isclose(results[False][0], results[True][0], rtol=1e-5)
+    np.testing.assert_allclose(results[False][1], results[True][1],
+                               rtol=1e-4, atol=1e-7)
+
+
 def test_train_loop_dsprites_subset_host_alpha_fallback():
     """A dsprites --attrList subset the device sampler can't express must
     fall back to host-numpy alpha sampling (train_loop probes the sampler),
