@@ -220,7 +220,10 @@ def modulated_conv2d(
 # more than the MXU win. To profit, the whole top block (conv-up output,
 # noise/act, ToRGB) must stay resident in s2d form — future work; the
 # equivalence is correct and tested (tests/test_s2d_conv.py). Set
-# S2D_MIN_RES to e.g. 256 to experiment.
+# S2D_MIN_RES to e.g. 256 to experiment. Measured round 3 at 512 (s2d form
+# for the dominant 512-res 64ch conv2): 113 vs 138.3 img/s END-TO-END — the
+# 1.78x structural-zero FLOP inflation loses more than full lanes win, like
+# every other phase-kernel rewrite (BASELINE.md negative results). Stays off.
 S2D_MIN_RES = 10**9
 S2D_MAX_CH = 64
 
