@@ -123,9 +123,8 @@ def run(opt, conf):
         json.dump(
             {
                 "embedding": embed_name,
-                # provenance: 'reference' = raw 0-255 bicubic-resized inputs
-                # (eval.py:144-155 semantics; jax cubic != PIL BICUBIC
-                # bit-for-bit); 'whitened' = bilinear +
+                # provenance: 'reference' = raw 0-255 PIL-BICUBIC-resized
+                # inputs, bit-matching eval.py:183-190; 'whitened' = bilinear +
                 # (x-127.5)/128. Numbers from the two modes must not be
                 # cross-compared.
                 "embedding_preprocess": "reference" if ref_parity else "whitened",
@@ -140,9 +139,9 @@ def main():
     vo = VisOptions()
     vo.parser.add_argument("--facenet_path", type=str, default="")
     vo.parser.add_argument("--ref_parity", action="store_true",
-                           help="feed raw 0-255 bicubic-resized images to "
-                                "the identity embedding, matching the "
-                                "reference eval.py's preprocessing semantics")
+                           help="feed raw 0-255 PIL-BICUBIC-resized images "
+                                "to the identity embedding, bit-matching the "
+                                "reference eval.py's preprocessing")
     opt, conf = vo.parse()
     run(opt, conf)
 

@@ -106,21 +106,40 @@ def resize_for_embedding(
     """uint8 NHWC -> float resized to the facenet input size (160x160).
 
     Default: bilinear resize + facenet's own (x-127.5)/128 whitening — the
-    arguably-correct preprocessing. ref_parity=True matches the reference
-    eval.py's preprocessing SEMANTICS (raw 0-255 values, bicubic resize,
-    eval.py:144-155) for close comparison with reference-reported identity
-    numbers — close, not bit-identical: jax.image.resize 'cubic' and PIL's
-    BICUBIC use different filter/edge implementations. The two modes are NOT
-    cross-comparable with each other, so the CLI records which one produced
-    the report.
+    arguably-correct preprocessing. ref_parity=True reproduces the reference
+    eval.py's preprocessing (raw 0-255 values, PIL Image.resize with its
+    default BICUBIC filter, eval.py:183-190) — bit-parity via an actual
+    host-side PIL resize when PIL is importable (it always is in practice;
+    jax.image 'cubic' fallback otherwise, close but not bit-identical).
+    The two modes are NOT cross-comparable with each other, so the CLI
+    records which one produced the report.
     """
+    if ref_parity:
+        x = np.asarray(imgs_u8)
+        if x.ndim == 3:
+            x = x[None]
+        try:
+            import PIL.Image
+
+            out = np.stack([
+                np.asarray(
+                    PIL.Image.fromarray(im.astype(np.uint8)).resize(
+                        (size, size)  # PIL default = BICUBIC, as eval.py
+                    ),
+                    np.float32,
+                )
+                for im in x
+            ])
+            return jnp.asarray(out)
+        except ImportError:
+            xj = jnp.asarray(x, jnp.float32)
+            return jax.image.resize(
+                xj, (xj.shape[0], size, size, xj.shape[3]), "cubic"
+            )
     x = jnp.asarray(imgs_u8, jnp.float32)
     if x.ndim == 3:
         x = x[None]
-    method = "cubic" if ref_parity else "linear"
-    x = jax.image.resize(x, (x.shape[0], size, size, x.shape[3]), method)
-    if ref_parity:
-        return x
+    x = jax.image.resize(x, (x.shape[0], size, size, x.shape[3]), "linear")
     return (x - 127.5) / 128.0
 
 

@@ -60,6 +60,38 @@ def test_train_vis_eval_flow(tmp_path):
 
 
 @pytest.mark.slow
+def test_train_multi_attr_flow(tmp_path):
+    """Multi-attribute trainer: 3-epoch default, loss artifacts
+    (loss_values.npy + curve), multi-column walk bank."""
+    from latent2im_tpu.cli.train import run as train_run
+    from latent2im_tpu.cli.train_multi_attr import N_EPOCH_MULTI
+    from latent2im_tpu.config.options import TrainOptions
+
+    opt = TrainOptions().parse(
+        [
+            "--model", "stylegan_v2_real", "--transform", "face",
+            "--num_samples", "4", "--learning_rate", "1e-3",
+            "--walk_type", "linear", "--loss", "l2",
+            "--attrList", "Smiling,Young,Male",
+            "--attrPath", "/root/repo/dataset/attributes_celeba.txt",
+            "--models_dir", str(tmp_path / "models"), "--overwrite_config",
+            "--dev_tiny", "--resolution", "32",
+            "--model_save_freq", "0", "--batch_size", "2", "--n_devices", "1",
+        ]
+    )
+    walk, history = train_run(opt, n_epoch_default=N_EPOCH_MULTI,
+                              save_loss_artifacts=True)
+    assert walk["w"].shape[0] == 3  # one direction row per attribute
+    assert len(history) == N_EPOCH_MULTI * 2  # 4 samples / batch 2 per epoch
+    assert all(np.isfinite(h) for h in history)
+    lv = np.load(os.path.join(opt.output_dir, "loss_values.npy"))
+    assert len(lv) == len(history)
+    final = os.path.join(opt.output_dir,
+                         f"model_w_{N_EPOCH_MULTI}_final_walk_module.ckpt")
+    assert os.path.isfile(final)
+
+
+@pytest.mark.slow
 def test_train_geometric_transform_masked_l2(tmp_path):
     """--transform zoom trains the masked-L2 warp objective from the CLI
     (VERDICT r2 Weak #2: it used to silently BCE the face regressor)."""

@@ -153,3 +153,66 @@ def test_reg_input_size_resizes_before_regression():
     # and a no-op when sizes already match
     same = ed_plain.regress_all(img)
     assert same.shape == (2, 4)
+
+
+def test_load_gan_checkpoint_rejects_non_stylegan_torch_dict(tmp_path):
+    """A torch checkpoint without rosinality to_rgbs keys raises a clear
+    error instead of silently inferring size=4 (ADVICE r2)."""
+    import pytest
+    import torch
+
+    from latent2im_tpu.io import checkpoint as ckpt
+
+    path = str(tmp_path / "weird.pt")
+    torch.save({"g_ema": {"some.linear.weight": torch.zeros(3, 3)}}, path)
+    with pytest.raises(ValueError, match="to_rgbs"):
+        ckpt.load_gan_checkpoint(path)
+
+
+def test_relistify_scoped_to_list_keys():
+    """Digit-keyed dicts OUTSIDE the known list-bearing keys survive a
+    structure-free restore as dicts (ADVICE r2: per-attribute banks named
+    '0','1' must not be silently restructured)."""
+    from latent2im_tpu.io import checkpoint as ckpt
+
+    tree = {
+        "convs": {"0": {"w": 1}, "1": {"w": 2}},       # real list, restored
+        "banks": {"0": [1.0], "1": [2.0]},              # genuine digit keys
+    }
+    out = ckpt._relistify(tree)
+    assert isinstance(out["convs"], list) and len(out["convs"]) == 2
+    assert isinstance(out["banks"], dict) and set(out["banks"]) == {"0", "1"}
+
+
+def test_gan_resume_checkpoint_carries_optimizer_state(tmp_path):
+    """_save_gan writes Adam states and the structure-full restore returns
+    them exactly (ADVICE r2: bit-reproducible --updateGAN resume)."""
+    import jax
+
+    from latent2im_tpu.cli.train import _save_gan
+    from latent2im_tpu.engine.gan import GANModule
+    from latent2im_tpu.io import checkpoint as ckpt
+    from latent2im_tpu.models import stylegan2 as sg2
+
+    tiny = {4: 8, 8: 8, 16: 8}
+    kg, kd = jax.random.split(jax.random.PRNGKey(0))
+    g = sg2.init_generator(kg, 16, style_dim=16, n_mlp=2, channels=tiny)
+    d = sg2.init_discriminator(kd, 16, channels=tiny)
+    mod = GANModule.create(g, d_params=d, lr=1e-3)
+    # make the opt state non-trivial so the roundtrip is meaningful
+    mod.g_opt_state = jax.tree_util.tree_map(
+        lambda x: x + 1 if hasattr(x, "dtype") else x, mod.g_opt_state
+    )
+    path = str(tmp_path / "model_gan_resume.ckpt")
+    _save_gan(mod, path)
+
+    like = {"g": mod.g_params, "g_running": mod.g_running, "d": mod.d_params,
+            "g_opt_state": mod.g_opt_state, "d_opt_state": mod.d_opt_state}
+    tree = ckpt.load_pytree(path, like)
+    chex = jax.tree_util.tree_all(
+        jax.tree_util.tree_map(
+            lambda a, b: bool((np.asarray(a) == np.asarray(b)).all()),
+            tree["g_opt_state"], mod.g_opt_state,
+        )
+    )
+    assert chex

@@ -169,3 +169,20 @@ def test_nll_pixel_loss():
     a = jnp.zeros((1, 4, 4, 3))
     b = jnp.ones((1, 4, 4, 3))
     np.testing.assert_allclose(float(nll_pixel_loss(b, a)[0]), 1.0, rtol=1e-6)
+
+
+def test_ref_parity_resize_bit_matches_pil():
+    """--ref_parity preprocessing must bit-match the reference eval.py's
+    PIL Image.resize((160,160)) on raw uint8 (eval.py:183-190)."""
+    import PIL.Image
+
+    from latent2im_tpu.engine.evaluation import resize_for_embedding
+
+    rng = np.random.RandomState(0)
+    imgs = rng.randint(0, 256, (3, 47, 53, 3), np.uint8)
+    got = np.asarray(resize_for_embedding(imgs, 160, ref_parity=True))
+    want = np.stack([
+        np.asarray(PIL.Image.fromarray(im).resize((160, 160)), np.float32)
+        for im in imgs
+    ])
+    np.testing.assert_array_equal(got, want)
