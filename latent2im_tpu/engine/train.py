@@ -38,6 +38,7 @@ def make_train_step(
     optimizer: optax.GradientTransformation,
     mesh=None,
     host_alpha: bool = False,
+    frozen_shardings=None,
 ) -> Callable:
     """Returns step(walk_params, opt_state, z_batch, key) ->
     (walk_params, opt_state, metrics).
@@ -46,7 +47,12 @@ def make_train_step(
     folded-key path to an explicit `sampled` argument the host provides
     (e.g. via task.train_alpha_np) — the reference's exact host-numpy
     sampling semantics (train.py:48-58), and the hook the torch
-    training-dynamics parity test injects through."""
+    training-dynamics parity test injects through.
+
+    frozen_shardings: optional NamedSharding pytree for the frozen towers
+    on a 2-D ('data', 'model') mesh — e.g. meshlib.frozen_tp_shardings for
+    tensor-parallel G (weights/activations shard over 'model', GSPMD
+    inserts the per-block psums). Default: towers replicate."""
     cfg = editor.cfg
     n_attr = len(cfg.attr_list)
     # Frozen towers travel as jit ARGUMENTS (closures would embed them as HLO
@@ -145,15 +151,18 @@ def make_train_step(
     if mesh is not None:
         repl = meshlib.replicated(mesh)
         data = meshlib.batch_sharding(mesh)
-        in_sh = ((repl, repl, data, repl, data, repl) if host_alpha
-                 else (repl, repl, data, repl, repl))
+        fr_sh = repl if frozen_shardings is None else frozen_shardings
+        in_sh = ((repl, repl, data, repl, data, fr_sh) if host_alpha
+                 else (repl, repl, data, repl, fr_sh))
         jit_step = jax.jit(
             step_fn,
             in_shardings=in_sh,
             out_shardings=(repl, repl, repl),
             donate_argnums=(0, 1),
         )
-        frozen_dev = meshlib.replicate(mesh, frozen_host)
+        frozen_dev = (meshlib.replicate(mesh, frozen_host)
+                      if frozen_shardings is None
+                      else jax.device_put(frozen_host, frozen_shardings))
     else:
         jit_step = jax.jit(step_fn, donate_argnums=(0, 1))
         frozen_dev = jax.device_put(frozen_host)

@@ -27,6 +27,21 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.array(devs), ("data",))
 
 
+def make_mesh_2d(n_data: int | None = None, n_model: int = 1,
+                 devices=None) -> Mesh:
+    """2-D ('data', 'model') mesh for combined data + tensor parallelism.
+
+    The 'data' axis shards batches (as in make_mesh); the 'model' axis
+    shards the big frozen-tower weights/activations (stylegan2_tp_specs).
+    On a real slice, lay 'model' along the fastest ICI ring — the per-block
+    psum rides it every step."""
+    devs = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devs) // n_model
+    devs = devs[: n_data * n_model]
+    return Mesh(np.array(devs).reshape(n_data, n_model), ("data", "model"))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading axis sharded over chips."""
     return NamedSharding(mesh, P("data"))
@@ -45,7 +60,9 @@ def shard_batch(mesh: Mesh, batch, pad: bool = False):
     ragged final batch — callers slice the result back to the true length).
     Training batches must divide exactly: padded rows would bias gradients.
     """
-    n_dev = int(np.prod(mesh.devices.shape))
+    # the batch shards over the 'data' axis only (replicated over 'model'
+    # on a 2-D mesh), so that's the divisibility requirement
+    n_dev = int(mesh.shape.get("data", np.prod(mesh.devices.shape)))
     n = batch.shape[0]
     if n % n_dev:
         if not pad:
@@ -68,6 +85,53 @@ def replicate(mesh: Mesh, tree):
 def pad_to_devices(n: int, n_dev: int) -> int:
     """Round a global batch up so it divides the mesh."""
     return ((n + n_dev - 1) // n_dev) * n_dev
+
+
+def _repl_like(tree):
+    return jax.tree_util.tree_map(lambda _: P(), tree)
+
+
+def stylegan2_tp_specs(g_params) -> dict:
+    """Tensor-parallel PartitionSpecs for a models.stylegan2 generator tree.
+
+    Megatron-style column/row alternation per resolution block: the up-conv
+    shards OUTPUT channels over 'model' (its noise/bias epilogue stays
+    channel-sharded), the partner 3x3 conv shards INPUT channels — so each
+    block pays exactly one XLA-inserted psum over the 'model' axis, and the
+    inter-conv activations never materialize unsharded. Style MLP, const,
+    to_rgbs, and noise buffers replicate (small). GSPMD propagates the
+    activation shardings and inserts the collectives; nothing in the model
+    code changes.
+    """
+    specs = {
+        "style": _repl_like(g_params["style"]),
+        "const": P(),
+        "conv1": _repl_like(g_params["conv1"]),
+        "to_rgb1": _repl_like(g_params["to_rgb1"]),
+        "to_rgbs": _repl_like(g_params["to_rgbs"]),
+        "noises": _repl_like(g_params["noises"]),
+        "convs": [],
+    }
+    for i, conv in enumerate(g_params["convs"]):
+        spec = _repl_like(conv)
+        if i % 2 == 0:  # up-conv: column-parallel (shard Cout)
+            spec["conv"]["w"] = P(None, None, None, "model")
+            spec["act_b"] = P("model")
+        else:  # partner conv: row-parallel (shard Cin) -> one psum
+            spec["conv"]["w"] = P(None, None, "model", None)
+        specs["convs"].append(spec)
+    return specs
+
+
+def frozen_tp_shardings(mesh: Mesh, frozen: dict):
+    """NamedShardings for an Editor.frozen_params() tree on a 2-D mesh:
+    the StyleGAN2 generator tensor-shards over 'model'
+    (stylegan2_tp_specs); the other towers replicate."""
+    specs = {k: _repl_like(v) for k, v in frozen.items()}
+    if "g" in frozen and isinstance(frozen["g"], dict) \
+            and "convs" in frozen["g"]:
+        specs["g"] = stylegan2_tp_specs(frozen["g"])
+    return jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), specs)
 
 
 def init_distributed(coordinator: str | None = None, num_processes: int | None = None,

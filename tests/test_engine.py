@@ -173,6 +173,45 @@ def test_train_step_multichip_matches_single_device(editor):
     np.testing.assert_allclose(w_mesh, w_single, rtol=1e-4, atol=1e-6)
 
 
+def test_train_step_tensor_parallel_matches_single_device(editor):
+    """dp x tp over a 2-D ('data','model') mesh: G weights/activations shard
+    over 'model' (Megatron column/row per block, meshlib.stylegan2_tp_specs)
+    and GSPMD inserts the per-block psums — the step must still produce the
+    single-device loss and walk update exactly (same ground truth as the DP
+    test)."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 devices (virtual CPU mesh)")
+    task = get_task("face")
+    opt = make_optimizer(1e-3)
+    z = sample_epoch_z(8, STYLE_DIM, seed=0)
+
+    def run(mesh):
+        walk = init_walk(
+            jax.random.PRNGKey(7), "linear_w", STYLE_DIM,
+            editor.cfg.n_latent, ["Smiling"],
+        )
+        state = opt.init(walk)
+        fr_sh = None
+        if mesh is not None:
+            walk = meshlib.replicate(mesh, walk)
+            state = meshlib.replicate(mesh, state)
+            fr_sh = meshlib.frozen_tp_shardings(mesh, editor.frozen_params())
+        step = make_train_step(editor, task, opt, mesh=mesh,
+                               frozen_shardings=fr_sh)
+        losses = []
+        for i in range(2):
+            zb = (meshlib.shard_batch(mesh, z) if mesh is not None
+                  else jnp.asarray(z))
+            walk, state, metrics = step(walk, state, zb, jax.random.PRNGKey(i))
+            losses.append(float(metrics["loss"]))
+        return np.asarray(jax.device_get(walk)["w"]), losses
+
+    w_single, loss_single = run(None)
+    w_tp, loss_tp = run(meshlib.make_mesh_2d(n_data=2, n_model=4))
+    np.testing.assert_allclose(loss_tp, loss_single, rtol=2e-4)
+    np.testing.assert_allclose(w_tp, w_single, rtol=1e-4, atol=1e-6)
+
+
 def test_shard_batch_uneven_pads_or_raises():
     if jax.device_count() < 8:
         pytest.skip("needs 8 devices (virtual CPU mesh)")
