@@ -8,6 +8,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+from helpers import ON_CPU, assert_close
+
 from latent2im_tpu.models import stylegan2 as sg2
 from latent2im_tpu.ops import pair_conv as pcv
 
@@ -30,8 +32,8 @@ def test_pair_conv_matches_xla_styled_conv(noise_batch):
                               (noise_batch, 32, 32, 1), jnp.float32)
     want = sg2.styled_conv(p, x, style, noise)  # XLA composition
     got = sg2._styled_conv_pair(p, x, style, noise)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
-                               rtol=2e-4, atol=2e-4)
+    # CPU interpreter: strict; real chip: bf16x3-vs-f32-MXU tolerance
+    assert_close(got, want, rtol=2e-4, atol=2e-4)
 
 
 def test_pair_blocks_zero_structure():
@@ -57,6 +59,9 @@ def test_dispatch_gate():
 def test_synthesize_with_pair_conv_flag_matches():
     """Full tiny synthesis with PAIR_CONV on == off (gate only engages at
     >=512 res in production; force a low threshold here)."""
+    if not ON_CPU:
+        pytest.skip("tiny channels give <128 lanes; hardware path needs "
+                    "the production 64-channel shape (covered above)")
     key = jax.random.PRNGKey(1)
     tiny = {4: 16, 8: 16, 16: 8, 32: 8}
     g = sg2.init_generator(key, 32, style_dim=32, n_mlp=2, channels=tiny)
