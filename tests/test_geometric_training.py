@@ -48,3 +48,36 @@ def test_geometric_training_loop_reduces_loss():
 
     assert all(np.isfinite(losses))
     assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
+
+
+def test_geometric_loop_resume_matches_uninterrupted():
+    """start_epoch/opt_state resume reproduces the uninterrupted run exactly
+    (per-epoch reseeded z and alpha streams make the split deterministic)."""
+    from latent2im_tpu.engine.train import geometric_train_loop
+
+    key = jax.random.PRNGKey(3)
+    kg, kw = jax.random.split(key)
+    g = sg2.init_generator(kg, 32, style_dim=32, n_mlp=2, channels=TINY)
+    cfg = EditorConfig(size=32, dim_z=32, walk_kind="linear_w",
+                       attr_list=("zoom",), attr_idx=(0,))
+    ed = Editor(cfg, g, reg_params=rn.init_resnet50(jax.random.PRNGKey(9),
+                                                    num_outputs=4))
+    task = get_task("zoom", img_size=32)
+    kwargs = dict(num_samples=4, batch_size=2, lr=5e-3, seed=7, log_every=1)
+
+    walk0 = init_walk(kw, "linear_w", 32, cfg.n_latent, ["zoom"])
+    w_full, h_full = geometric_train_loop(
+        ed, task, jax.tree_util.tree_map(jnp.copy, walk0), n_epochs=2,
+        **kwargs)
+
+    states = {}
+    w1, h1 = geometric_train_loop(
+        ed, task, jax.tree_util.tree_map(jnp.copy, walk0), n_epochs=1,
+        on_epoch_end=lambda e, wp, st: states.update(st=st), **kwargs)
+    w2, h2 = geometric_train_loop(
+        ed, task, w1, n_epochs=2, start_epoch=1, opt_state=states["st"],
+        **kwargs)
+
+    np.testing.assert_allclose(h1 + h2, h_full, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(w2["w"]),
+                               np.asarray(w_full["w"]), rtol=1e-6)
