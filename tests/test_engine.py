@@ -268,9 +268,12 @@ def test_remat_g_step_matches_plain_step(editor):
         w2, _, m = step(jax.tree_util.tree_map(jnp.copy, walk),
                         opt.init(walk), z, key)
         results[remat] = (float(m["loss"]), np.asarray(w2["w"]))
-    assert np.isclose(results[False][0], results[True][0], rtol=1e-5)
-    np.testing.assert_allclose(results[False][1], results[True][1],
-                               rtol=1e-4, atol=1e-7)
+    from helpers import assert_close
+
+    # strict on CPU; TPU's bf16x3 matmul recompute may reorder rounding
+    assert_close(np.asarray([results[False][0]]),
+                 np.asarray([results[True][0]]), rtol=1e-5, atol=1e-7)
+    assert_close(results[False][1], results[True][1], rtol=1e-4, atol=1e-7)
 
 
 def test_train_loop_dsprites_subset_host_alpha_fallback():

@@ -78,6 +78,8 @@ def test_geometric_loop_resume_matches_uninterrupted():
         ed, task, w1, n_epochs=2, start_epoch=1, opt_state=states["st"],
         **kwargs)
 
-    np.testing.assert_allclose(h1 + h2, h_full, rtol=1e-6)
-    np.testing.assert_allclose(np.asarray(w2["w"]),
-                               np.asarray(w_full["w"]), rtol=1e-6)
+    from helpers import assert_close
+
+    assert_close(np.asarray(h1 + h2), np.asarray(h_full), rtol=1e-6)
+    assert_close(np.asarray(w2["w"]), np.asarray(w_full["w"]), rtol=1e-6,
+                 atol=1e-7)

@@ -220,7 +220,17 @@ def test_torch_oracle_matches_committed_fixture(fixture_data):
 
 def test_jax_train_step_tracks_reference_dynamics(fixture_data):
     """The committed torch loss/param trajectories, reproduced by the
-    production jitted train step over N_STEPS optimizer steps."""
+    production jitted train step over N_STEPS optimizer steps.
+
+    CPU-only by design: this is the strict f32 training-dynamics parity
+    gate. On TPU the same step runs f32 matmuls as bf16x3 passes, and the
+    raw-BCE log clamps amplify that over 6 steps into drift that says
+    nothing about correctness (the TPU suite covers compile+run of the
+    identical step via test_engine/test_cli_e2e)."""
+    import jax
+
+    if jax.default_backend() != "cpu":
+        pytest.skip("strict f32 dynamics gate; TPU runs bf16x3 matmuls")
     losses, traj = run_jax()
     want_losses = fixture_data["losses"]
     want_traj = fixture_data["walk_traj"]

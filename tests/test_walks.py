@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from helpers import assert_close
+
 from latent2im_tpu.walks import (
     REGISTRY,
     apply_walk,
@@ -170,7 +172,7 @@ def test_convert_walk_mlp_multi_z_matches_torch_layout():
     want = z + alpha * h / np.linalg.norm(h, axis=1, keepdims=True)
 
     got = apply_mlp_z(params, jnp.asarray(z), jnp.asarray(alpha))
-    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+    assert_close(got, want, rtol=2e-4, atol=2e-5)
 
 
 def test_convert_walk_linear_bank():
@@ -191,7 +193,7 @@ def test_convert_walk_linear_bank():
     got = apply_linear_z_dir(params, jnp.asarray(z), jnp.asarray(alpha))
     want = z + alpha @ np.stack([state["w.Smiling"][0, :, 0],
                                  state["w.Young"][0, :, 0]])
-    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+    assert_close(got, want, rtol=1e-5, atol=1e-6)
 
     # names derived from keys when attr_list is empty
     p2 = tc.convert_walk_state("WalkLinear", state, [])
@@ -213,7 +215,7 @@ def test_convert_walk_linear_z_single():
     out = z @ state["linear.weight"].T + state["linear.bias"]
     want = z + 0.4 * out / np.linalg.norm(out, axis=1, keepdims=True) * 3.0
     got = apply_linear_z(params, jnp.asarray(z), jnp.asarray(alpha))
-    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+    assert_close(got, want, rtol=2e-4, atol=2e-5)
 
 
 def test_embed_walk_default_bank():
