@@ -111,9 +111,12 @@ def _kernel(x_hbm, wb_ref, noise_ref, bias_ref, o_ref, *, th, wp, n_h,
         for dy in range(3):
             a = xs[dy : dy + th, :, :].reshape(th * wp, lanes)
             for dpx in range(3):
+                # HIGHEST: f32 inputs run bf16x6-class passes (parity with
+                # XLA's bf16x3 f32 convs); bf16 inputs are exact either way
                 accs[dpx] = accs[dpx] + jnp.dot(
                     a, wb_ref[0, dy, dpx],
                     preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
         col = jax.lax.broadcasted_iota(jnp.int32, (th, wp, lanes), 1)
         a_m1 = accs[0].reshape(th, wp, lanes)  # from pairs n-1
