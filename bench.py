@@ -61,7 +61,7 @@ def _mfu_fields(prefix: str, flops_per_call, calls_per_s) -> dict:
         out[f"{prefix}tflops_per_s"] = round(tflops_s, 2)
         if peak:
             out[f"{prefix}mfu"] = round(tflops_s / peak, 4)
-    if peak and not out.get("peak_tflops_noted"):
+    if peak:
         out["peak_tflops"] = peak
         out["device_kind"] = dev
     return out

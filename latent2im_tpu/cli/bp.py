@@ -74,15 +74,12 @@ def main(argv=None):
         ckpt = torch.load(args.g_path, map_location="cpu", weights_only=False)
         g_params = tc.convert_stylegan2_generator(ckpt["g_ema"], args.resolution)
         # Full checkpoint surface parity (BP.py:315-332 loads g_ema AND d
-        # plus both torch Adam states): the discriminator is converted when
-        # present — unused by the inversion loss, like the reference's netD,
-        # but the load path is exercised; g_optim/d_optim have no JAX
+        # plus both torch Adam states): the discriminator conversion is
+        # exercised for validation when present — unused by the inversion
+        # loss, like the reference's netD; g_optim/d_optim have no JAX
         # counterpart here because BP optimizes latents only.
-        d_params = None
         if "d" in ckpt:
-            d_params = tc.convert_stylegan2_discriminator(
-                ckpt["d"], args.resolution
-            )
+            tc.convert_stylegan2_discriminator(ckpt["d"], args.resolution)
             print("loaded full checkpoint surface: g_ema + d")
         style_dim = 512
     else:

@@ -75,6 +75,22 @@ def run(opt, conf):
         embed_fn = ev.make_vgg_embed_fn(editor.vgg_params, ref_parity=ref_parity)
         embed_name = "vgg-fallback"
 
+    # identity numbers from a randomly initialized embedding tower rank edits
+    # relative to each other but are NOT comparable to any published absolute
+    # identity-preservation figure
+    identity_relative_only = (
+        embed_name == "vgg-fallback"
+        and not info.get("pretrained", {}).get("vgg", False)
+    )
+    if identity_relative_only:
+        print("=" * 72)
+        print("WARNING: the identity embedding tower is RANDOMLY INITIALIZED "
+              "(no --facenet_path / --vgg_path).")
+        print("Identity-preservation numbers below are RELATIVE-ONLY: valid "
+              "for comparing runs of this exact build, meaningless as "
+              "absolute identity scores.")
+        print("=" * 72)
+
     from ..tasks.transforms import get_task
 
     from ..tasks.transforms import task_kwargs_from_options
@@ -128,6 +144,7 @@ def run(opt, conf):
                 # (x-127.5)/128. Numbers from the two modes must not be
                 # cross-compared.
                 "embedding_preprocess": "reference" if ref_parity else "whitened",
+                "identity_is_relative_only": identity_relative_only,
                 "results": report,
             },
             f, indent=2,

@@ -215,4 +215,12 @@ def build_editor_from_options(opt, seed: int = 0):
         "attr_list": attr_list,
         "attr_table": attr_table,
         "attr_idx": attr_idx,
+        # provenance: which towers came from real checkpoints vs random init
+        # (cli/eval.py flags identity numbers as relative-only when the
+        # embedding tower is randomly initialized)
+        "pretrained": {
+            "g": bool(getattr(opt, "g_path", "")),
+            "reg": bool(reg_path),
+            "vgg": bool(vgg_path),
+        },
     }

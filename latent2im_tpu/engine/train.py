@@ -273,7 +273,7 @@ def geometric_train_loop(
     history: list[float] = []
     for epoch in range(start_epoch, n_epochs):
         zs = sample_epoch_z(num_samples, cfg.dim_z, seed=epoch)
-        rng = np.random.RandomState(seed * 100003 + epoch)
+        rng = np.random.RandomState(_alpha_seed(seed, epoch))
         iters = num_samples // batch_size
         for i in range(iters):
             if stop_flag is not None and stop_flag():
@@ -299,6 +299,16 @@ def geometric_train_loop(
         if on_epoch_end is not None:
             on_epoch_end(epoch, walk_params, opt_state)
     return walk_params, history
+
+
+def _alpha_seed(seed: int, epoch: int) -> int:
+    """Seed for the host alpha-sampling stream, decoupled from
+    sample_epoch_z's RandomState(epoch): with the default seed=0 a plain
+    seed*100003+epoch collapses to `epoch`, making the alpha stream consume
+    the same Mersenne-Twister words as the epoch's z batch. The large
+    per-epoch stride keeps the two streams' seeds disjoint for any epoch
+    count a training run reaches."""
+    return (seed * 100003 + 70001 * epoch + 35117) % (2**31)
 
 
 def sample_epoch_z(num_samples: int, dim_z: int, seed: int) -> np.ndarray:
@@ -346,8 +356,12 @@ def train_loop(
     host_alpha = False
     try:
         task.train_alpha(jax.random.PRNGKey(0), 1, n_attr)
-    except Exception:
+    except ValueError as e:
+        # the documented vocab-mismatch signal (e.g. dsprites --attrList
+        # subsets); anything else is a genuine sampler bug and should raise
         host_alpha = True
+        print(f"note: device alpha sampler declined ({e}); "
+              "falling back to host-numpy sampling")
     step = make_train_step(editor, task, optimizer, mesh=mesh,
                            host_alpha=host_alpha)
     if mesh is not None:
@@ -359,7 +373,7 @@ def train_loop(
     it_global = start_epoch * (num_samples // batch_size)
     for epoch in range(start_epoch, n_epochs):
         zs = sample_epoch_z(num_samples, editor.cfg.dim_z, seed=epoch)
-        alpha_rng = np.random.RandomState(seed * 100003 + epoch)
+        alpha_rng = np.random.RandomState(_alpha_seed(seed, epoch))
         iters = num_samples // batch_size
         for i in range(iters):
             if stop_flag is not None and stop_flag():

@@ -151,7 +151,9 @@ def load_gan_state(path: str) -> dict:
 # (sg2/pggan/resnet/walk trees). The digit-dict -> list conversion is scoped
 # to these so a future genuinely-str-digit-keyed dict elsewhere (e.g.
 # per-attribute banks named '0','1') survives a structure-free restore.
-_LIST_KEYS = {"style", "convs", "to_rgbs", "noises", "blocks", "layers", "mlp"}
+_LIST_KEYS = {"style", "convs", "to_rgbs", "noises", "blocks", "layers", "mlp",
+              # pggan tree (models/pggan.py): list-of-block params
+              "progression", "to_rgb", "from_rgb"}
 
 
 def _relistify(tree, parent_key: str | None = None):
