@@ -50,6 +50,12 @@ class CompatGraph:
         return self.editor.regress(logit)
 
     def get_train_alpha(self, zs_batch, N_attr=None, trainEmbed=False):
+        if trainEmbed:
+            # discrete-panel sampling (utils/transforms.py:647-656): the
+            # 3rd element is the sampled bank index the step must train
+            return self.task.train_alpha_embed_np(
+                self.rng, len(zs_batch), N_attr or len(self.attrList)
+            )
         a_graph, a_target = self.task.train_alpha_np(
             self.rng,
             len(zs_batch),
@@ -69,7 +75,14 @@ class CompatGraph:
     def get_w_new_tensor(self, multi_ws, alpha, layers=None, **kw):
         return self.editor.edit(self.walk, multi_ws, alpha)
 
-    def get_z_new_tensor(self, z, alpha, **kw):
+    def get_z_new_tensor(self, z, alpha, name=None, trainEmbed=False,
+                         index_=None, **kw):
+        # embed walks route the (name, index_) pair into the bank lookup
+        # (reference get_z_new_tensor -> WalkEmbed.forward(z, name, alpha,
+        # index_), transform_base.py:367-369)
+        if self.editor.cfg.walk_kind == "embed":
+            return self.editor.edit(self.walk, z, alpha, name=name,
+                                    index=0 if index_ is None else index_)
         return self.editor.edit(self.walk, z, alpha)
 
     def apply_alpha(self, graph_inputs, alpha_to_graph, layers=None, name=None,

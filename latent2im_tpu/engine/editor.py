@@ -34,6 +34,19 @@ import jax.numpy as jnp
 from ..models import stylegan2 as sg2
 from ..walks import walks as W
 
+# Default synthesis program width for panel sweeps: the edit-pipeline bench
+# peaks at batch 32 at 1024px (bench.py BATCH); larger chunks only grow peak
+# activation memory.
+SWEEP_CHUNK = 32
+
+
+def _balanced_chunk(n: int, cap: int) -> int:
+    """Chunk width ≤ cap that balances n across ceil(n/cap) programs —
+    ceil(48/32)=2 chunks of 24 instead of 32+16-padded-to-32 (a measured 25%
+    synthesis-slot waste at vis batch 8, P=6)."""
+    n_chunks = -(-n // cap)
+    return -(-n // n_chunks)
+
 
 @dataclasses.dataclass(frozen=True)
 class EditorConfig:
@@ -275,10 +288,42 @@ class Editor:
             ag = ag[:, None]
         return fn(walk_params, jnp.asarray(z), ag, given_w)
 
-    def sweep(self, walk_params, z, panel_alphas, given_w=None, index=None):
+    def _synthesize_chunked(self, latents, chunk: int):
+        """Synthesize a flattened [N, ...] latent stack in device programs of
+        width `chunk` (N padded up to a multiple; pad rows discarded). chunk
+        == N is a single full-width call. The chunking keeps peak activation
+        memory bounded at large panel counts while every program runs at a
+        chip-filling batch — unlike a lax.map at the (tiny) user batch width,
+        which starved the MXU at vis/eval's B=1..2 (measured 103 panel-img/s
+        vs the edit pipeline's 276 syntheses/s; see BENCH_r04)."""
+        n = latents.shape[0]
+        if chunk >= n:
+            return self.synthesize(latents)
+        n_chunks = -(-n // chunk)
+        pad = n_chunks * chunk - n
+        if pad:
+            latents = jnp.concatenate([latents, latents[:pad]], axis=0)
+        stacked = latents.reshape((n_chunks, chunk) + latents.shape[1:])
+        imgs = jax.lax.map(self.synthesize, stacked)
+        imgs = imgs.reshape((n_chunks * chunk,) + imgs.shape[2:])
+        return imgs[:n]
+
+    def sweep(self, walk_params, z, panel_alphas, given_w=None, index=None,
+              chunk: int | None = None):
         """All-panels edit in one device program: returns images [P, B, ...]
         plus (alpha_org, orig_img). Replaces the host loop at
-        transform_base.py:620-627."""
+        transform_base.py:620-627.
+
+        The P panels are flattened into the batch dimension — the latent is
+        computed once and broadcast, then ONE (chunked) synthesis runs over
+        [P*B] — so the generator always sees a chip-filling batch even at the
+        B=1..2 sizes vis/eval use. chunk bounds the synthesis program width
+        (default SWEEP_CHUNK; panels pad up to a multiple)."""
+        pa = jnp.asarray(panel_alphas, jnp.float32)
+        if pa.ndim == 2:
+            pa = pa[:, :, None]
+        p, b = int(pa.shape[0]), int(pa.shape[1])
+        c = chunk or _balanced_chunk(p * b, SWEEP_CHUNK)
 
         def run(wp, z, alphas, gw):
             if self.cfg.latent == "z":
@@ -287,20 +332,19 @@ class Editor:
                 latent = self.get_w(z) if gw is None else gw
             orig = self.synthesize(latent)
             alpha_org = self.regress(orig)
+            if self.cfg.latent == "z":
+                walk_alpha = alphas                     # [P, B, A]
+            else:
+                walk_alpha = alphas - alpha_org[None]   # delta to target
+            flat_alpha = walk_alpha.reshape((p * b,) + walk_alpha.shape[2:])
+            flat_latent = jnp.broadcast_to(
+                latent[None], (p,) + latent.shape
+            ).reshape((p * b,) + latent.shape[1:])
+            edited = self.edit(wp, flat_latent, flat_alpha)
+            imgs = self._synthesize_chunked(edited, c)
+            return imgs.reshape((p, b) + imgs.shape[1:]), alpha_org, orig
 
-            def one(ag):
-                if self.cfg.latent == "z":
-                    return self.synthesize(self.edit(wp, latent, ag))
-                delta = ag - alpha_org
-                return self.synthesize(self.edit(wp, latent, delta))
-
-            imgs = jax.lax.map(one, alphas)
-            return imgs, alpha_org, orig
-
-        fn = self._jit(f"sweep_{given_w is None}", run)
-        pa = jnp.asarray(panel_alphas, jnp.float32)
-        if pa.ndim == 2:
-            pa = pa[:, :, None]
+        fn = self._jit(f"sweep_{given_w is None}_{p}_{b}_{c}", run)
         return fn(walk_params, jnp.asarray(z), pa, given_w)
 
     def apply_alpha_combine(self, walk_params, z, alphas_per_attr, indices,
@@ -332,8 +376,9 @@ class Editor:
         (transform_base.py:814-869): returns images [P, P, B, H, W, C].
 
         One device program per batch: latent/orig/alpha_org compute once,
-        then lax.map walks the flattened P*P alpha grid on device — the same
-        design rule `sweep` follows for 1-D panels."""
+        then the flattened P*P alpha grid folds into the batch dimension and
+        synthesizes in chip-filling chunks — the same design rule `sweep`
+        follows for 1-D panels."""
         import numpy as np
 
         positions = tuple(self._bank_position(i) for i in indices)
@@ -345,17 +390,22 @@ class Editor:
 
         def run(wp, z, grid, gw):
             latent = self.get_w(z) if gw is None else gw
+            b = latent.shape[0]
             orig = self.synthesize(latent)
             alpha_org = self.regress(orig)
-
-            def one(pair):
-                delta = jnp.zeros_like(alpha_org)
-                for k, pos in enumerate(positions):
-                    delta = delta.at[:, pos].set(pair[k] - alpha_org[:, pos])
-                return self.synthesize(self.edit(wp, latent, delta))
-
-            imgs = jax.lax.map(one, grid)  # [P*P, B, H, W, C]
-            return imgs, alpha_org, orig
+            n = grid.shape[0]  # P*P
+            delta = jnp.zeros((n, b, alpha_org.shape[1]), alpha_org.dtype)
+            for k, pos in enumerate(positions):
+                delta = delta.at[:, :, pos].set(
+                    grid[:, k, None] - alpha_org[None, :, pos]
+                )
+            flat_delta = delta.reshape(n * b, -1)
+            flat_latent = jnp.broadcast_to(
+                latent[None], (n,) + latent.shape
+            ).reshape((n * b,) + latent.shape[1:])
+            edited = self.edit(wp, flat_latent, flat_delta)
+            imgs = self._synthesize_chunked(edited, _balanced_chunk(n * b, SWEEP_CHUNK))
+            return imgs.reshape((n, b) + imgs.shape[1:]), alpha_org, orig
 
         fn = self._jit(f"sweep_combine_{positions}_{given_w is None}", run)
         imgs, alpha_org, orig = fn(

@@ -27,10 +27,33 @@ class Task:
 
     lo: float = 0.0
     hi: float = 1.0
+    # --trainEmbed discrete panel (utils/transforms.py:640-656 and the
+    # per-transform ladders): each step samples one index into this ladder
+    # and trains that bank entry of the WalkEmbed module.
+    num_panel: int = 6
+    embed_alpha_max: float = 1.0
 
     def __init__(self, walk_type: str = "linear", nsliders: int = 1):
         self.walk_type = walk_type
         self.nsliders = nsliders
+
+    def embedding_alphas(self) -> np.ndarray:
+        """The discrete trainEmbed alpha ladder (transforms.py:641)."""
+        return np.linspace(0.0, 1.0, self.num_panel)
+
+    def train_alpha_embed_np(self, rng: np.random.RandomState, batch: int,
+                             n_attr: int | None = None):
+        """--trainEmbed sampling (transforms.py:647-656): one discrete panel
+        index per step; returns (slider [B, nsliders], alpha_val, index)
+        mirroring the reference's 3-tuple. The slider (scaled by
+        embed_alpha_max) is the BCE/graph alpha; alpha_val the raw ladder
+        value (used by geometric get_target_np); index selects the bank
+        entry the step trains."""
+        index = int(rng.choice(self.num_panel))
+        alpha_val = float(self.embedding_alphas()[index])
+        slider = np.full((batch, self.nsliders),
+                         alpha_val / self.embed_alpha_max, np.float32)
+        return slider, np.float32(alpha_val), index
 
     # -- training ----------------------------------------------------------
     def train_alpha(self, key, batch: int, n_attr: int):

@@ -123,6 +123,30 @@ def test_sweep_panels(editor):
     assert not np.allclose(np.asarray(imgs[0]), np.asarray(imgs[-1]))
 
 
+def test_sweep_matches_apply_alpha_and_chunking(editor):
+    """The flattened-batch sweep must agree panel-for-panel with apply_alpha
+    (same delta-to-target semantics), and the chunked synthesis path — which
+    pads the flattened [P*B] stack up to a chunk multiple — must agree with
+    the single-call path."""
+    walk = init_walk(
+        jax.random.PRNGKey(5), "linear_w", STYLE_DIM, editor.cfg.n_latent, ["Smiling"]
+    )
+    z = np.random.RandomState(1).randn(2, STYLE_DIM).astype(np.float32)
+    alphas = np.linspace(0, 1, 3)
+    panels = alphas[:, None] * np.ones((3, 2), np.float32)  # [P, B]
+    imgs, alpha_org, orig = editor.sweep(walk, z, panels)
+    for p, a in enumerate(alphas):
+        edited, ao, og = editor.apply_alpha(walk, z, np.full((2, 1), a, np.float32))
+        np.testing.assert_allclose(np.asarray(imgs[p]), np.asarray(edited),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(alpha_org), np.asarray(ao),
+                                   atol=1e-6)
+    # chunk=4 over P*B=6 -> 2 chunks with 2 pad rows discarded
+    imgs_c, _, _ = editor.sweep(walk, z, panels, chunk=4)
+    np.testing.assert_allclose(np.asarray(imgs_c), np.asarray(imgs),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_train_step_single_device(editor):
     task = get_task("face")
     walk = init_walk(
