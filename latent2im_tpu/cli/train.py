@@ -168,6 +168,8 @@ def run(opt, n_epoch_default: int = N_EPOCH_SINGLE, save_loss_artifacts: bool = 
                     opt_state=opt_state,
                     stop_flag=lambda: stop_box["stop"],
                     on_preempt=on_preempt,
+                    mesh=None if getattr(opt, "host_targets", False) else mesh,
+                    device_targets=not getattr(opt, "host_targets", False),
                 )
             else:
                 walk_params, history = train_loop(
@@ -193,6 +195,21 @@ def run(opt, n_epoch_default: int = N_EPOCH_SINGLE, save_loss_artifacts: bool = 
     if stop_box.get("preempted"):
         return walk_params, history
     ckpt.save_walk(output_dir, n_epochs, walk_params, final=True)
+    if getattr(opt, "export_ref_walk", False):
+        # reference-format module pickle alongside the native checkpoint,
+        # loadable by the reference's load_multi_models
+        # (transform_base.py:497-505)
+        import jax
+
+        from ..io.torch_convert import export_walk_torch
+
+        export_walk_torch(
+            os.path.join(output_dir, f"model_w_{n_epochs}_final_ref"
+                                     "_walk_module.ckpt"),
+            editor.cfg.walk_kind,
+            jax.device_get(walk_params),
+            attr_list=list(info["attr_list"]),
+        )
     if gan_state.get("module") is not None:
         # save the fine-tuned GAN (the reference's save_path_gan surface)
         _save_gan(gan_state["module"],

@@ -71,6 +71,13 @@ def _build_train_parser() -> argparse.ArgumentParser:
     parser.add_argument("--stable_bce", action="store_true",
                         help="numerically-stable sigmoid BCE instead of the "
                              "reference's raw-output BCE")
+    parser.add_argument("--export_ref_walk", action="store_true",
+                        help="also save the final walk as the reference's "
+                             "pickled *_walk_module.ckpt module format")
+    parser.add_argument("--host_targets", action="store_true",
+                        help="geometric transforms: compute warp targets on "
+                             "the host with cv2 (the reference's path) "
+                             "instead of in-graph (tasks/warp.py)")
     parser.add_argument("--remat_g", action="store_true",
                         help="rematerialize the edited-path G forward in the "
                              "train-step backward (jax.checkpoint): ~1 extra "
@@ -253,6 +260,9 @@ class VisOptions:
         p.add_argument("--combine_indices", type=str, default="",
                        help="two regressor-table indices 'i,j' for a "
                             "2-attribute combined grid")
+        p.add_argument("--n_devices", type=int, default=None,
+                       help="shard inference batches data-parallel over this "
+                            "many devices (default: single device)")
 
     def parse(self, args=None):
         opt = self.parser.parse_args(args)

@@ -22,6 +22,7 @@ try:
 except ImportError:  # pragma: no cover
     cv2 = None
 
+from . import warp as warplib
 from .transforms import Task
 
 # ---------------------------------------------------------------------------
@@ -63,6 +64,14 @@ def lab2rgb(lab: np.ndarray) -> np.ndarray:
     rgb = np.where(lin > 0.0031308, 1.055 * np.clip(lin, 0, None) ** (1 / 2.4) - 0.055,
                    12.92 * lin)
     return np.clip(rgb, 0, 1)
+
+
+def _full_box(size: int) -> np.ndarray:
+    return np.array([0, 0, size - 1, size - 1], np.float32)
+
+
+def _id_payload(size: int) -> dict:
+    return {"minv": np.eye(3, dtype=np.float32), "box": _full_box(size)}
 
 
 def _binarize(mask: np.ndarray) -> np.ndarray:
@@ -131,6 +140,10 @@ class ColorTransform(Task):
                 target[b, :, :, i] += alpha[b, i]
         return target, mask_out
 
+    def device_spec(self, alpha, img_size):
+        """In-graph target: per-sample channel shift (tasks/warp.py)."""
+        return ("color", np.asarray(alpha, np.float32), False)
+
     def train_alpha_np(self, rng, batch, n_attr=None):
         if self.channel is None:
             a = rng.random_sample((batch, self.num_channels)) - 0.5
@@ -161,6 +174,9 @@ class ColorLabTransform(ColorTransform):
     """Lab-space color shifts; alpha in [-1,1] scales to L/a/b ranges
     (transforms.py:80-131)."""
 
+    def device_spec(self, alpha, img_size):
+        return ("colorlab", np.asarray(alpha, np.float32), False)
+
     def get_target_np(self, outputs_zs, alpha):
         mask_out = np.ones(outputs_zs.shape)
         if not np.any(alpha):
@@ -182,9 +198,32 @@ class ZoomTransform(Task):
     """log-alpha slider; crop/pad + resize target with validity mask
     (transforms.py:133-284)."""
 
+    num_panel = 15  # trainEmbed ladder (transforms.py:138-142)
+
     def __init__(self, walk_type="linear", nsliders=1, img_size=256):
         super().__init__(walk_type, nsliders)
         self.img_size = img_size
+
+    def embedding_alphas(self):
+        # geometric ladder in zoom factor space (transforms.py:142)
+        return np.exp(np.linspace(np.log(0.5), np.log(2), self.num_panel))
+
+    def train_alpha_embed_np(self, rng, batch, n_attr=None):
+        # zoom's trainEmbed slider is log(alpha), unscaled (transforms.py:
+        # 211-222)
+        index = int(rng.choice(self.num_panel))
+        alpha_val = float(self.embedding_alphas()[index])
+        slider = np.full((batch, self.nsliders), np.log(alpha_val), np.float32)
+        return slider, np.float32(alpha_val), index
+
+    def device_spec(self, alpha, img_size):
+        """Crop/pad+resize as one dst->src affine (tasks/warp.py:zoom_minv);
+        clamp (edge replicate, clipped to the crop box) on the zoom-in
+        branch = cv2.resize border semantics."""
+        if alpha == 1:
+            return ("warp", _id_payload(img_size), True)
+        minv, clamp, box = warplib.zoom_minv(float(alpha), img_size)
+        return ("warp", {"minv": minv, "box": box}, clamp)
 
     def get_target_np(self, outputs_zs, alpha):
         img_size = outputs_zs.shape[1]
@@ -242,10 +281,20 @@ class ShiftTransform(Task):
 
     axis = "x"
     alpha_max = 8
+    num_panel = 15          # trainEmbed ladder (transforms.py:296-301)
+    embed_alpha_max = 7.0
 
     def __init__(self, walk_type="linear", nsliders=1, img_size=256):
         super().__init__(walk_type, nsliders)
         self.img_size = img_size
+
+    def embedding_alphas(self):
+        return np.linspace(-self.embed_alpha_max, self.embed_alpha_max,
+                           self.num_panel)
+
+    def device_spec(self, alpha, img_size):
+        return ("warp", {"minv": warplib.shift_minv(float(alpha), self.axis),
+                         "box": _full_box(img_size)}, False)
 
     def get_target_np(self, outputs_zs, alpha):
         img_size = outputs_zs.shape[1]
@@ -296,10 +345,20 @@ class Rotate2DTransform(Task):
     """In-plane rotation (transforms.py:440-547)."""
 
     alpha_max = 45
+    num_panel = 15           # trainEmbed ladder (transforms.py:445-451)
+    embed_alpha_max = 45.0
 
     def __init__(self, walk_type="linear", nsliders=1, img_size=256):
         super().__init__(walk_type, nsliders)
         self.img_size = img_size
+
+    def embedding_alphas(self):
+        return np.linspace(-self.embed_alpha_max, self.embed_alpha_max,
+                           self.num_panel)
+
+    def device_spec(self, alpha, img_size):
+        return ("warp", {"minv": warplib.rotate2d_minv(float(alpha), img_size),
+                         "box": _full_box(img_size)}, False)
 
     def get_target_np(self, outputs_zs, alpha):
         img_size = outputs_zs.shape[1]
@@ -340,6 +399,13 @@ class Rotate3DTransform(Rotate2DTransform):
     (transforms.py:549-614)."""
 
     alpha_max = 720
+
+    def device_spec(self, alpha, img_size):
+        if alpha == 0:
+            return ("warp", _id_payload(img_size), True)
+        return ("warp",
+                {"minv": warplib.rotate3d_minv(float(alpha), img_size, dx=5.0),
+                 "box": _full_box(img_size)}, False)
 
     def get_target_np(self, outputs_zs, alpha):
         mask_fn = np.ones(outputs_zs.shape)
