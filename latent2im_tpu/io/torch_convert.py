@@ -629,3 +629,112 @@ def convert_walk_state(cls: str, state: dict, attr_list: list[str]) -> dict:
             )
         return {"w": bank}
     raise ValueError(f"unknown walk checkpoint class: {cls}")
+
+
+# ---------------------------------------------------------------------------
+# reverse export: walk param pytrees -> reference *_walk_module.ckpt pickles
+# ---------------------------------------------------------------------------
+
+
+def export_walk_torch(path: str, kind: str, params: dict,
+                      attr_list: list[str] | None = None,
+                      nsliders: int = 1) -> None:
+    """Save a walk trained HERE as the reference's pickled-module checkpoint
+    (torch.save(self.walk, save_path_w + '_walk_module.ckpt'),
+    transform_base.py:492-505), loadable by reference tooling.
+
+    The reference pickles the WHOLE nn.Module, so the pickle stores the
+    class's qualified name plus the module __dict__. We build an instance of
+    the matching stub class (same qualified name the reference classes have;
+    _register_walk_stubs) carrying real torch parameters/submodules in the
+    reference's exact attribute layout — unpickling in the reference
+    environment resolves the REAL class and restores this state onto it,
+    and load_walk_checkpoint here round-trips it (convert_walk_state is the
+    inverse mapping)."""
+    import sys as _sys
+
+    import torch
+    import torch.nn as nn
+
+    _register_walk_stubs()
+
+    def t(a):
+        # np.array copies: jax arrays expose read-only buffers torch warns on
+        return torch.from_numpy(np.array(a, np.float32))
+
+    def p(a):
+        return nn.Parameter(t(a))
+
+    def lin(layer):  # ours [in,out] -> torch Linear [out,in]
+        w, b = np.asarray(layer["w"]), np.asarray(layer["b"])
+        m = nn.Linear(w.shape[0], w.shape[1])
+        m.weight = p(w.T)
+        m.bias = p(b)
+        return m
+
+    def seq(layers):  # Sequential(Linear, LeakyReLU, ..., Linear)
+        mods = []
+        for i, l in enumerate(layers):
+            mods.append(lin(l))
+            if i < len(layers) - 1:
+                mods.append(nn.LeakyReLU(0.2, True))
+        return nn.Sequential(*mods)
+
+    sg = "graphs.stylegan_v2_real.transform_base"
+    pg = "graphs.pggan.transform_base"
+    table = {  # kind -> (reference class, reference module)
+        "linear_w": ("WalkLinearMultiW", sg),
+        "mlp_w": ("WalkMlpMultiW", sg),
+        "nn_w": ("WalkNonLinearW", sg),
+        "mlp_z": ("WalkMlpMultiZ", sg),
+        "linear_z_dir": ("WalkLinear", sg),
+        "embed": ("WalkEmbed", sg),
+        "linear_z_free": ("WalkLinearZ_free", pg),
+        "linear_z": ("WalkLinearZ", pg),
+        "mlp_z_norm": ("WalkMlpZ2", pg),
+        "mlp_z3": ("WalkMlpZ3", pg),
+    }
+    if kind not in table:
+        raise ValueError(f"no reference checkpoint format for walk kind {kind!r}")
+    cls_name, mod_name = table[kind]
+    m = getattr(_sys.modules[mod_name], cls_name)()
+    m.Nsliders = nsliders
+
+    if kind == "linear_w":
+        w = np.asarray(params["w"])  # [A, L, D] — identical layout
+        m.w = p(w)
+        m.dim_z, m.step = w.shape[2], w.shape[1] // 2 - 1
+    elif kind == "mlp_w":
+        m.linear = seq(params["mlp"])
+        m.dim_z = np.asarray(params["mlp"][0]["w"]).shape[0]
+    elif kind == "nn_w":
+        m.embed = lin(params["embed"])
+        m.linear = seq(params["mlp"])
+        m.dim_z = np.asarray(params["embed"]["b"]).shape[0] * 2
+    elif kind == "mlp_z":
+        m.embed = lin(params["embed"])
+        m.linear = seq(params["mlp"])
+        m.dim_z = np.asarray(params["embed"]["b"]).shape[0]
+        direction = np.zeros((1, 10), np.float32)
+        direction[0, 0] = 1
+        m.direction = t(direction)
+    elif kind == "linear_z_dir":
+        w = np.asarray(params["w"])  # [A, D] -> ParameterDict of [1, D, 1]
+        names = list(attr_list or [f"attr{i}" for i in range(w.shape[0])])
+        m.w = nn.ParameterDict({n: p(w[i][None, :, None])
+                                for i, n in enumerate(names)})
+        m.dim_z = w.shape[1]
+    elif kind == "embed":
+        m.w = nn.ParameterDict({n: p(params["w"][n]) for n in params["w"]})
+        m.dim_z = next(iter(params["w"].values())).shape[2]
+    elif kind == "linear_z_free":
+        m.w = p(params["w"])
+        m.dim_z = np.asarray(params["w"]).shape[1]
+    elif kind == "linear_z":
+        m.linear = lin(params["lin"])
+        m.dim_z = np.asarray(params["lin"]["b"]).shape[0]
+    else:  # mlp_z_norm / mlp_z3
+        m.linear = seq(params["mlp"])
+        m.dim_z = np.asarray(params["mlp"][0]["w"]).shape[0]
+    m.step = getattr(m, "step", None)
+    torch.save(m, path)

@@ -24,6 +24,7 @@ def test_train_vis_eval_flow(tmp_path):
             "--models_dir", models_dir, "--overwrite_config",
             "--dev_tiny", "--resolution", "32", "--n_epochs", "1",
             "--model_save_freq", "4", "--batch_size", "2", "--n_devices", "1",
+            "--export_ref_walk",
         ],
         print_opt=True,
     )
@@ -35,6 +36,20 @@ def test_train_vis_eval_flow(tmp_path):
     final = os.path.join(run_dir, "model_w_1_final_walk_module.ckpt")
     assert os.path.isfile(final)
     assert os.path.isdir(os.path.join(run_dir, "results"))
+
+    # --export_ref_walk: reference-format module pickle, re-importable
+    ref_ckpt = os.path.join(run_dir, "model_w_1_final_ref_walk_module.ckpt")
+    assert os.path.isfile(ref_ckpt)
+    from latent2im_tpu.io.torch_convert import (
+        convert_walk_state,
+        load_walk_checkpoint,
+    )
+
+    cls, state = load_walk_checkpoint(ref_ckpt)
+    assert cls == "WalkLinearMultiW"
+    back = convert_walk_state(cls, state, ["Smiling"])
+    np.testing.assert_allclose(np.asarray(back["w"]), np.asarray(walk["w"]),
+                               atol=1e-7)
 
     vo = VisOptions()
     vopt, conf = vo.parse(
