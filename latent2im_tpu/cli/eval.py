@@ -27,7 +27,7 @@ from ..engine.train import sample_epoch_z
 from ..io import checkpoint as ckpt
 from ..utils import image as imgmod
 
-BATCH = 4
+BATCH = 8  # sweep folds P panels into the batch; 8 z x 6 panels fills 2x24-wide programs
 
 
 def run(opt, conf):
@@ -100,16 +100,33 @@ def run(opt, conf):
                     **task_kwargs_from_options(conf))
     panel_alphas = task.test_alphas()
 
+    # optional data-parallel sharding of the eval batches (additive vs the
+    # single-GPU reference): replicate towers, shard z, identical report —
+    # equivalence-tested on the virtual 8-device mesh
+    n_dev = getattr(opt, "n_devices", None) or 1
+    mesh = None
+    if n_dev > 1:
+        from ..parallel import mesh as meshlib
+
+        mesh = meshlib.make_mesh(n_dev)
+        editor, walk_params = meshlib.replicate_editor(editor, walk_params,
+                                                       mesh)
+
     zs = sample_epoch_z(opt.num_samples, editor.cfg.dim_z, seed=opt.noise_seed)
     report = {}
     for a_pos, attr in enumerate(editor.cfg.attr_list):
         acc = ev.EvalAccumulator()
         for bs in range(0, opt.num_samples, BATCH):
             z = zs[bs : bs + BATCH]
+            nb = z.shape[0]
+            if mesh is not None:
+                z = meshlib.shard_batch(mesh, z, pad=True)
             panels = np.stack(
                 [task.scale_test_alpha(a, z.shape[0]) for a in panel_alphas]
             ).astype(np.float32)
             imgs, alpha_org, orig = editor.sweep(walk_params, z, panels)
+            if z.shape[0] != nb:  # drop mesh padding rows
+                imgs, alpha_org, orig = imgs[:, :nb], alpha_org[:nb], orig[:nb]
             orig_u8 = imgmod.to_uint8(orig)
             org_all = np.asarray(editor.regress_all(orig))
             # one regressor call over all panels (flattened [P*B, ...])

@@ -24,7 +24,7 @@ from ..io import checkpoint as ckpt
 from ..utils import html as htmlmod
 from ..utils import image as imgmod
 
-BATCH = 4
+BATCH = 8  # sweep folds P panels into the batch; 8 z x 6 panels fills 2x24-wide programs
 
 
 def run(opt, conf):
@@ -85,6 +85,17 @@ def run(opt, conf):
         print(f"editing {len(latents)} inverted latents from {latents_dir}")
     zs = sample_epoch_z(opt.num_samples, editor.cfg.dim_z, seed=opt.noise_seed)
 
+    # optional data-parallel sharding of the sweep batches (additive vs the
+    # single-GPU reference; identical panels, equivalence-tested)
+    n_dev = getattr(opt, "n_devices", None) or 1
+    mesh = None
+    if n_dev > 1:
+        from ..parallel import mesh as meshlib
+
+        mesh = meshlib.make_mesh(n_dev)
+        editor, walk_params = meshlib.replicate_editor(editor, walk_params,
+                                                       mesh)
+
     combine = getattr(opt, "combine_indices", "")
     if combine:
         # 2-attribute grid (transform_base.py:814-869): all (a_i, a_j) pairs
@@ -92,17 +103,24 @@ def run(opt, conf):
         assert len(idx) == 2, "--combine_indices wants two attribute indices"
         for batch_start in range(0, opt.num_samples, BATCH):
             z = zs[batch_start : batch_start + BATCH]
+            nb = z.shape[0]
             gw = None
             if latents is not None:
                 import jax.numpy as jnp
 
                 gw = jnp.asarray(latents[batch_start : batch_start + BATCH])
+                if mesh is not None:
+                    gw = meshlib.shard_batch(mesh, np.asarray(gw), pad=True)
+            if mesh is not None:
+                z = meshlib.shard_batch(mesh, z, pad=True)
             imgs, alpha_org, _ = editor.sweep_combine(
                 walk_params, z, alphas, indices=idx, given_w=gw
             )
+            if z.shape[0] != nb:
+                imgs = imgs[:, :, :nb]
             grid = imgmod.to_uint8(imgs)  # [P, P, B, H, W, 3]
             p = len(alphas)
-            for ii in range(z.shape[0]):
+            for ii in range(nb):
                 panel = grid[:, :, ii].reshape(p * p, *grid.shape[3:])
                 name = f"combine_idx{idx[0]}_idx{idx[1]}_sample{batch_start + ii}"
                 imgmod.save_im(
@@ -114,20 +132,25 @@ def run(opt, conf):
 
     for batch_start in range(0, opt.num_samples, BATCH):
         z = zs[batch_start : batch_start + BATCH]
+        nb = z.shape[0]
         gw = None
         if latents is not None:
             import jax.numpy as jnp
 
             gw = jnp.asarray(latents[batch_start : batch_start + BATCH])
+            if mesh is not None:
+                gw = meshlib.shard_batch(mesh, np.asarray(gw), pad=True)
+        if mesh is not None:
+            z = meshlib.shard_batch(mesh, z, pad=True)
         # panel slider matrix [P, B, A] (scale_test_alpha_for_graph semantics)
         panels = np.stack(
             [task.scale_test_alpha(a, z.shape[0]) for a in alphas]
         ).astype(np.float32)
         imgs, alpha_org, orig = editor.sweep(walk_params, z, panels, given_w=gw)
-        imgs = imgmod.to_uint8(imgs)  # [P, B, H, W, 3]
-        alpha_org = np.asarray(alpha_org)
+        imgs = imgmod.to_uint8(np.asarray(imgs)[:, :nb])  # [P, B, H, W, 3]
+        alpha_org = np.asarray(alpha_org)[:nb]
 
-        for ii in range(z.shape[0]):
+        for ii in range(nb):
             a = float(alpha_org[ii, 0])
             panel_stack = imgs[:, ii]  # [P, H, W, 3]
             name = f"sample{batch_start + ii}_{a:.2f}"

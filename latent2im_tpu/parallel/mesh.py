@@ -156,3 +156,16 @@ def init_distributed(coordinator: str | None = None, num_processes: int | None =
         except Exception:
             pass
     return jax.process_index()
+
+
+def replicate_editor(editor, walk_params, mesh):
+    """Data-parallel INFERENCE setup: replicate the frozen towers and walk
+    over the mesh (returns a new editor + walk). Callers then shard the z /
+    latent batches with shard_batch(pad=True) — jit propagates the argument
+    shardings, so every Editor program (sweep/apply_alpha/regress) runs SPMD
+    with no per-path annotations. Additive vs the reference (single-GPU,
+    SURVEY §2.9)."""
+    if mesh is None:
+        return editor, walk_params
+    ed = editor.with_params(replicate(mesh, editor.frozen_params()))
+    return ed, replicate(mesh, walk_params)
