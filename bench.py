@@ -80,9 +80,14 @@ TRAIN_ITERS = 10
 TRAIN_WARMUP = 2
 
 
-def bench_train():
-    """256px full-tower walk-training step throughput (two G fwds + R + VGG
-    + D fwds, backward through the frozen graph into the walk, Adam)."""
+def bench_train(size=TRAIN_SIZE, batch=TRAIN_BATCH, remat=False,
+                iters=TRAIN_ITERS, warmup=TRAIN_WARMUP):
+    """Full-tower walk-training step throughput (two G fwds + R + VGG
+    + D fwds, backward through the frozen graph into the walk, Adam).
+
+    At 1024px the step is memory-bound: plain fails to fit at B>=8 and
+    remat_g unlocks B=8 at ~2x the B=4-plain throughput (grid in
+    BASELINE.md) — the crossover the 256px grid predicted."""
     from latent2im_tpu.engine.editor import Editor, EditorConfig
     from latent2im_tpu.engine.train import make_optimizer, make_train_step
     from latent2im_tpu.models import resnet as rn
@@ -93,13 +98,13 @@ def bench_train():
 
     key = jax.random.PRNGKey(0)
     kg, kd, kr, kv, kw = jax.random.split(key, 5)
-    g = sg2.init_generator(kg, TRAIN_SIZE, style_dim=512, n_mlp=8)
-    d = sg2.init_discriminator(kd, TRAIN_SIZE)
+    g = sg2.init_generator(kg, size, style_dim=512, n_mlp=8)
+    d = sg2.init_discriminator(kd, size)
     reg = rn.init_resnet50(kr, num_outputs=40)
     vgg = vggm.init_vgg(kv, "vgg19")
     cfg = EditorConfig(
-        attr_list=("Smiling",), attr_idx=(31,), size=TRAIN_SIZE,
-        compute_dtype=jnp.bfloat16,
+        attr_list=("Smiling",), attr_idx=(31,), size=size,
+        compute_dtype=jnp.bfloat16, remat_g=remat,
     )
     ed = Editor(cfg, g, reg_params=reg, vgg_params=vgg, d_params=d)
     walk = init_walk(kw, "linear_w", 512, cfg.n_latent, ["Smiling"])
@@ -107,24 +112,48 @@ def bench_train():
     state = opt.init(walk)
     step = make_train_step(ed, get_task("face"), opt)
 
-    z = jax.random.normal(jax.random.PRNGKey(1), (TRAIN_BATCH, 512))
+    z = jax.random.normal(jax.random.PRNGKey(1), (batch, 512))
     # ONE compile, used for the timed loop AND the FLOP accounting (a second
     # lower().compile() would double the dominant compile cost)
     compiled = step.jit_fn.lower(
         walk, state, z, jax.random.PRNGKey(0), step.frozen_dev
     ).compile()
     flops = _program_flops(compiled)
-    for i in range(TRAIN_WARMUP):
+    for i in range(warmup):
         walk, state, metrics = compiled(walk, state, z, jax.random.PRNGKey(i),
                                         step.frozen_dev)
         float(metrics["loss"])
     t0 = time.perf_counter()
-    for i in range(TRAIN_ITERS):
+    for i in range(iters):
         walk, state, metrics = compiled(walk, state, z, jax.random.PRNGKey(i),
                                         step.frozen_dev)
     float(metrics["loss"])  # host sync; steps serialize on the device queue
     dt = time.perf_counter() - t0
-    return TRAIN_ITERS / dt, TRAIN_ITERS * TRAIN_BATCH / dt, flops
+    return iters / dt, iters * batch / dt, flops
+
+
+SWEEP_PANELS = 10  # BASELINE config #1: 10-panel Smiling sweep
+SWEEP_ITERS = 8
+
+
+def bench_sweep(ed, walk, batch: int):
+    """vis_w panel-sweep throughput (panel-img/s) at 1024px: one sweep =
+    get_w + orig synthesis + regress + P edited syntheses, flattened into
+    chip-filling programs (engine/editor.py:sweep)."""
+    import numpy as np
+
+    z = np.random.RandomState(2).randn(batch, 512).astype("float32")
+    panels = np.linspace(0.0, 1.0, SWEEP_PANELS)[:, None] * np.ones(
+        (SWEEP_PANELS, batch), np.float32
+    )
+    imgs, _, _ = ed.sweep(walk, z, panels)  # compile + warm
+    float(jnp.sum(imgs.astype(jnp.float32)))
+    t0 = time.perf_counter()
+    for _ in range(SWEEP_ITERS):
+        imgs, _, _ = ed.sweep(walk, z, panels)
+    float(jnp.sum(imgs.astype(jnp.float32)))  # host sync
+    dt = time.perf_counter() - t0
+    return SWEEP_PANELS * batch * SWEEP_ITERS / dt
 
 
 def main():
@@ -194,6 +223,20 @@ def main():
     if edit_flops:
         rec["flops_per_img"] = round(edit_flops / BATCH / 1e9, 2)  # GFLOP
 
+    # vis/eval panel-sweep throughput at the batch sizes vis actually uses
+    # (B=1..2): the flattened-batch sweep (engine/editor.py:sweep) replaced
+    # the lax.map-at-width-B form that starved the chip (103 panel-img/s at
+    # B=1 in round 3 vs 276 syntheses/s on the edit pipeline).
+    # Free the edit bench's B=32 1024px buffers first, and hand the sweep the
+    # ALREADY-on-device towers via with_params — the Editor closure would
+    # otherwise device-put a second copy next to the edit bench's and OOM
+    # the 16G HBM.
+    out = compiled = None  # noqa: F841
+    sweep_ed = ed.with_params(frozen)
+    for b in (1, 2):
+        rate = bench_sweep(sweep_ed, walk, b)
+        rec[f"sweep_panel_imgs_per_s_b{b}"] = round(rate, 2)
+
     train_steps_s, train_samples_s, train_flops = bench_train()
     rec.update({
         "train_steps_per_s": round(train_steps_s, 3),
@@ -202,6 +245,19 @@ def main():
         "train_size_px": TRAIN_SIZE,
     })
     rec.update(_mfu_fields("train_", train_flops, train_steps_s))
+
+    # 1024px training envelope: plain OOMs the 16G HBM at B>=8; remat_g
+    # (jax.checkpoint on the edited-path G forward) is the enabling config
+    # (BASELINE.md batch/remat grid, 2026-08-17)
+    s1024, sa1024, f1024 = bench_train(size=1024, batch=8, remat=True,
+                                       iters=6, warmup=2)
+    rec.update({
+        "train1024_steps_per_s": round(s1024, 3),
+        "train1024_samples_per_s": round(sa1024, 3),
+        "train1024_batch": 8,
+        "train1024_remat_g": True,
+    })
+    rec.update(_mfu_fields("train1024_", f1024, s1024))
     print(json.dumps(rec))
 
 

@@ -15,8 +15,9 @@ functions of (walk_params, inputs):
     edit            walk application                (:380-386)
     apply_alpha     inference edit: regress-current, delta-to-target, walk,
                     synthesize (:554-603), jitted, no host sync
-    sweep           batched panel sweep for vis/eval — lax.map over panel
-                    alphas instead of the reference's Python loop (:620-627)
+    sweep           batched panel sweep for vis/eval — panels fold into the
+                    batch dimension and synthesize in chip-filling chunks
+                    instead of the reference's Python loop (:620-627)
 
 The PGGAN backend differences are captured here too: G(z) output is bilinear-
 downsampled x0.5 (pggan :311-321) and D scores a x2 re-upsampled image
@@ -83,8 +84,8 @@ class EditorConfig:
 
 class Editor:
     """Capability surface over frozen towers. All public methods are pure in
-    (walk_params, data); heavyweight paths are jitted with frozen params
-    closed over as compile-time constants living on device."""
+    (walk_params, data); heavyweight paths are jitted with the frozen towers
+    passed as device ARGUMENTS (never closed over — see _jit)."""
 
     def __init__(
         self,
@@ -233,9 +234,34 @@ class Editor:
     # -- jitted inference paths -------------------------------------------
 
     def _jit(self, name, fn):
+        """Compile fn(ed, *args) with the frozen towers passed as a jit
+        ARGUMENT (ed = this editor rebound via with_params inside the
+        trace). A closure would embed every tower weight as an HLO constant
+        — at 1024px that's a >100MB program payload the axon compile tunnel
+        rejects (the same rule the train steps follow, train.py:75-78)."""
         if name not in self._jit_cache:
-            self._jit_cache[name] = jax.jit(fn)
-        return self._jit_cache[name]
+
+            def wrapped(frozen, *args):
+                return fn(self.with_params(frozen), *args)
+
+            self._jit_cache[name] = jax.jit(wrapped)
+        jitted = self._jit_cache[name]
+        frozen = self._frozen_device()
+        return lambda *args: jitted(frozen, *args)
+
+    def _frozen_device(self):
+        """Device copy of the frozen towers shared by every jitted inference
+        path; re-issued when a tower object is swapped (checkpoint load,
+        replicate_editor)."""
+        key = tuple(
+            id(t) for t in (self.g_params, self.reg_params, self.vgg_params,
+                            self.d_params)
+        )
+        cached = getattr(self, "_frozen_dev_cache", None)
+        if cached is None or cached[0] != key:
+            # no-op for arrays already on device (incl. mesh-replicated ones)
+            self._frozen_dev_cache = (key, jax.device_put(self.frozen_params()))
+        return self._frozen_dev_cache[1]
 
     def _bank_position(self, index) -> int:
         """Regressor-table attribute id -> column in the trained bank;
@@ -263,15 +289,15 @@ class Editor:
         # id, mapped through the bank's attr_idx (an untrained id raises)
         idx_pos = None if index is None else self._bank_position(index)
 
-        def run(wp, z, ag, gw):
-            if self.cfg.latent == "z":
+        def run(ed, wp, z, ag, gw):
+            if ed.cfg.latent == "z":
                 latent = z if gw is None else gw
             else:
-                latent = self.get_w(z) if gw is None else gw
-            orig = self.synthesize(latent)
-            alpha_org = self.regress(orig)
-            if self.cfg.latent == "z":
-                edited = self.synthesize(self.edit(wp, latent, ag))
+                latent = ed.get_w(z) if gw is None else gw
+            orig = ed.synthesize(latent)
+            alpha_org = ed.regress(orig)
+            if ed.cfg.latent == "z":
+                edited = ed.synthesize(ed.edit(wp, latent, ag))
                 return edited, alpha_org, orig
             delta = ag - alpha_org
             if idx_pos is not None:
@@ -279,7 +305,7 @@ class Editor:
                     (ag[:, 0] if ag.shape[1] == 1 else ag[:, idx_pos])
                     - alpha_org[:, idx_pos]
                 )
-            edited = self.synthesize(self.edit(wp, latent, delta))
+            edited = ed.synthesize(ed.edit(wp, latent, delta))
             return edited, alpha_org, orig
 
         fn = self._jit(f"apply_alpha_{given_w is None}_{idx_pos}", run)
@@ -325,14 +351,14 @@ class Editor:
         p, b = int(pa.shape[0]), int(pa.shape[1])
         c = chunk or _balanced_chunk(p * b, SWEEP_CHUNK)
 
-        def run(wp, z, alphas, gw):
-            if self.cfg.latent == "z":
+        def run(ed, wp, z, alphas, gw):
+            if ed.cfg.latent == "z":
                 latent = z if gw is None else gw
             else:
-                latent = self.get_w(z) if gw is None else gw
-            orig = self.synthesize(latent)
-            alpha_org = self.regress(orig)
-            if self.cfg.latent == "z":
+                latent = ed.get_w(z) if gw is None else gw
+            orig = ed.synthesize(latent)
+            alpha_org = ed.regress(orig)
+            if ed.cfg.latent == "z":
                 walk_alpha = alphas                     # [P, B, A]
             else:
                 walk_alpha = alphas - alpha_org[None]   # delta to target
@@ -340,8 +366,8 @@ class Editor:
             flat_latent = jnp.broadcast_to(
                 latent[None], (p,) + latent.shape
             ).reshape((p * b,) + latent.shape[1:])
-            edited = self.edit(wp, flat_latent, flat_alpha)
-            imgs = self._synthesize_chunked(edited, c)
+            edited = ed.edit(wp, flat_latent, flat_alpha)
+            imgs = ed._synthesize_chunked(edited, c)
             return imgs.reshape((p, b) + imgs.shape[1:]), alpha_org, orig
 
         fn = self._jit(f"sweep_{given_w is None}_{p}_{b}_{c}", run)
@@ -355,14 +381,14 @@ class Editor:
         with `indices` (regressor-table indices)."""
         positions = tuple(self._bank_position(i) for i in indices)
 
-        def run(wp, z, ags, gw):
-            latent = self.get_w(z) if gw is None else gw
-            orig = self.synthesize(latent)
-            alpha_org = self.regress(orig)
+        def run(ed, wp, z, ags, gw):
+            latent = ed.get_w(z) if gw is None else gw
+            orig = ed.synthesize(latent)
+            alpha_org = ed.regress(orig)
             delta = jnp.zeros_like(alpha_org)
             for pos, ag in zip(positions, ags):
                 delta = delta.at[:, pos].set(ag[:, 0] - alpha_org[:, pos])
-            edited = self.synthesize(self.edit(wp, latent, delta))
+            edited = ed.synthesize(ed.edit(wp, latent, delta))
             return edited, alpha_org, orig
 
         fn = self._jit(f"apply_combine_{positions}_{given_w is None}", run)
@@ -388,11 +414,11 @@ class Editor:
             [np.repeat(panels, p), np.tile(panels, p)], axis=1
         )  # [P*P, 2] row-major (a1 outer, a2 inner)
 
-        def run(wp, z, grid, gw):
-            latent = self.get_w(z) if gw is None else gw
+        def run(ed, wp, z, grid, gw):
+            latent = ed.get_w(z) if gw is None else gw
             b = latent.shape[0]
-            orig = self.synthesize(latent)
-            alpha_org = self.regress(orig)
+            orig = ed.synthesize(latent)
+            alpha_org = ed.regress(orig)
             n = grid.shape[0]  # P*P
             delta = jnp.zeros((n, b, alpha_org.shape[1]), alpha_org.dtype)
             for k, pos in enumerate(positions):
@@ -403,8 +429,8 @@ class Editor:
             flat_latent = jnp.broadcast_to(
                 latent[None], (n,) + latent.shape
             ).reshape((n * b,) + latent.shape[1:])
-            edited = self.edit(wp, flat_latent, flat_delta)
-            imgs = self._synthesize_chunked(edited, _balanced_chunk(n * b, SWEEP_CHUNK))
+            edited = ed.edit(wp, flat_latent, flat_delta)
+            imgs = ed._synthesize_chunked(edited, _balanced_chunk(n * b, SWEEP_CHUNK))
             return imgs.reshape((n, b) + imgs.shape[1:]), alpha_org, orig
 
         fn = self._jit(f"sweep_combine_{positions}_{given_w is None}", run)
