@@ -23,3 +23,10 @@ else:
     import jax
 
 jax.config.update("jax_enable_x64", False)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running end-to-end test (still part of the default run)",
+    )
