@@ -136,7 +136,7 @@ SWEEP_PANELS = 10  # BASELINE config #1: 10-panel Smiling sweep
 SWEEP_ITERS = 8
 
 
-def bench_sweep(ed, walk, batch: int):
+def bench_sweep(ed, walk, batch: int, chunk=None):
     """vis_w panel-sweep throughput (panel-img/s) at 1024px: one sweep =
     get_w + orig synthesis + regress + P edited syntheses, flattened into
     chip-filling programs (engine/editor.py:sweep)."""
@@ -146,14 +146,16 @@ def bench_sweep(ed, walk, batch: int):
     panels = np.linspace(0.0, 1.0, SWEEP_PANELS)[:, None] * np.ones(
         (SWEEP_PANELS, batch), np.float32
     )
-    imgs, _, _ = ed.sweep(walk, z, panels)  # compile + warm
+    imgs, _, _ = ed.sweep(walk, z, panels, chunk=chunk)  # compile + warm
     float(jnp.sum(imgs.astype(jnp.float32)))
     t0 = time.perf_counter()
     for _ in range(SWEEP_ITERS):
-        imgs, _, _ = ed.sweep(walk, z, panels)
+        imgs, _, _ = ed.sweep(walk, z, panels, chunk=chunk)
     float(jnp.sum(imgs.astype(jnp.float32)))  # host sync
     dt = time.perf_counter() - t0
-    return SWEEP_PANELS * batch * SWEEP_ITERS / dt
+    rate = SWEEP_PANELS * batch * SWEEP_ITERS / dt
+    del imgs  # free the [P,B,1024,1024,3] stack before the next section
+    return rate
 
 
 def main():
@@ -193,6 +195,33 @@ def main():
         # in-graph per-iter checksum was 2.8 ms of pure reduction overhead)
         return edited
 
+    # vis/eval panel-sweep throughput at the batch sizes vis actually uses
+    # (B=1..2): the flattened-batch sweep (engine/editor.py:sweep) replaced
+    # the lax.map-at-width-B form that starved the chip (103 panel-img/s at
+    # B=1 in round 3 vs 276 syntheses/s on the edit pipeline). Runs BEFORE
+    # the B=32 edit bench: loaded 1024px executables keep HBM reserved, and
+    # the sweep OOMs if it follows the edit program in the same process.
+    # with_params(frozen) hands the sweep the ALREADY-on-device towers (a
+    # host-param closure would device-put a second copy).
+    sweep_rates = {}
+    sweep_chunks = {}
+    sweep_ed = ed.with_params(frozen)
+    for b in (1, 2):
+        # B=2 (a width-20 program) has OOM'd when run right after B=1 with
+        # its width-10 executable still loaded; fall back to a narrower
+        # synthesis chunk rather than dying (the driver runs this
+        # unattended), and record the chunk actually used.
+        for chunk in (None, 10, 5):
+            try:
+                sweep_rates[b] = bench_sweep(sweep_ed, walk, b, chunk=chunk)
+                sweep_chunks[b] = chunk
+                break
+            except Exception as e:  # noqa: PERF203, BLE001 — OOM surfaces as
+                # JaxRuntimeError OR ValueError depending on the sync point
+                if "RESOURCE_EXHAUSTED" not in str(e) or chunk == 5:
+                    raise
+    sweep_ed = None  # noqa: F841 — drop the sweep jit caches before B=32
+
     z = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 512))
     alpha = jnp.full((BATCH, 1), 0.9, jnp.float32)
 
@@ -222,21 +251,12 @@ def main():
                            else 0))
     if edit_flops:
         rec["flops_per_img"] = round(edit_flops / BATCH / 1e9, 2)  # GFLOP
-
-    # vis/eval panel-sweep throughput at the batch sizes vis actually uses
-    # (B=1..2): the flattened-batch sweep (engine/editor.py:sweep) replaced
-    # the lax.map-at-width-B form that starved the chip (103 panel-img/s at
-    # B=1 in round 3 vs 276 syntheses/s on the edit pipeline).
-    # Free the edit bench's B=32 1024px buffers first, and hand the sweep the
-    # ALREADY-on-device towers via with_params — the Editor closure would
-    # otherwise device-put a second copy next to the edit bench's and OOM
-    # the 16G HBM.
-    out = compiled = None  # noqa: F841
-    sweep_ed = ed.with_params(frozen)
-    for b in (1, 2):
-        rate = bench_sweep(sweep_ed, walk, b)
+    for b, rate in sweep_rates.items():
         rec[f"sweep_panel_imgs_per_s_b{b}"] = round(rate, 2)
+        if sweep_chunks.get(b) is not None:
+            rec[f"sweep_b{b}_chunk"] = sweep_chunks[b]
 
+    out = compiled = None  # noqa: F841 — free the B=32 buffers for the trains
     train_steps_s, train_samples_s, train_flops = bench_train()
     rec.update({
         "train_steps_per_s": round(train_steps_s, 3),

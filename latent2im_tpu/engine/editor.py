@@ -334,7 +334,7 @@ class Editor:
         imgs = imgs.reshape((n_chunks * chunk,) + imgs.shape[2:])
         return imgs[:n]
 
-    def sweep(self, walk_params, z, panel_alphas, given_w=None, index=None,
+    def sweep(self, walk_params, z, panel_alphas, given_w=None,
               chunk: int | None = None):
         """All-panels edit in one device program: returns images [P, B, ...]
         plus (alpha_org, orig_img). Replaces the host loop at
