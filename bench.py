@@ -220,6 +220,10 @@ def main():
                 # JaxRuntimeError OR ValueError depending on the sync point
                 if "RESOURCE_EXHAUSTED" not in str(e) or chunk == 5:
                     raise
+                # retry on a FRESH editor: with_params makes a new instance
+                # with an empty jit cache, dropping the just-OOM'd executable
+                # instead of piling a narrower program on top of it
+                sweep_ed = ed.with_params(frozen)
     sweep_ed = None  # noqa: F841 — drop the sweep jit caches before B=32
 
     z = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 512))
@@ -256,7 +260,10 @@ def main():
         if sweep_chunks.get(b) is not None:
             rec[f"sweep_b{b}_chunk"] = sweep_chunks[b]
 
-    out = compiled = None  # noqa: F841 — free the B=32 buffers for the trains
+    # free the B=32 buffers AND the edit towers for the trains — bench_train
+    # builds its own full towers, and the 1024px remat config needs the
+    # headroom the retained edit-path G+resnet copies would eat
+    out = compiled = frozen = ed = walk = None  # noqa: F841
     train_steps_s, train_samples_s, train_flops = bench_train()
     rec.update({
         "train_steps_per_s": round(train_steps_s, 3),

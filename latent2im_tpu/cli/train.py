@@ -102,9 +102,11 @@ def run(opt, n_epoch_default: int = N_EPOCH_SINGLE, save_loss_artifacts: bool = 
         )
         step_counter["n"] += 1
         gan_state["walk"] = current_walk  # --updateGAN edits with the live walk
-        if save_freq and i % save_freq == 0 and not geometric:
+        if (save_freq and i % save_freq == 0 and not geometric
+                and editor.cfg.walk_kind != "embed"):
             # apply_alpha regresses attribute targets — meaningless for
-            # pixel-warp objectives; geometric sample grids come from vis_w
+            # pixel-warp objectives (geometric sample grids come from vis_w)
+            # and alpha-less for embed walks (apply_alpha raises for them)
             _save_samples(editor, current_walk, output_dir, epoch, i, batch)
 
     def on_epoch_end(epoch, wp, st):

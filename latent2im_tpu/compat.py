@@ -79,10 +79,18 @@ class CompatGraph:
                          index_=None, **kw):
         # embed walks route the (name, index_) pair into the bank lookup
         # (reference get_z_new_tensor -> WalkEmbed.forward(z, name, alpha,
-        # index_), transform_base.py:367-369)
+        # index_), transform_base.py:367-369). A missing index_ is an error,
+        # not bank 0: the reference's None-index torch lookup broadcasts a
+        # [6,1,D] bank slice into the latent (shape garbage downstream), so
+        # fail as loudly as it does rather than silently picking an entry.
         if self.editor.cfg.walk_kind == "embed":
+            if index_ is None:
+                raise ValueError(
+                    "embed walks need an explicit bank index_ "
+                    "(WalkEmbed.forward, transform_base.py:35-41)"
+                )
             return self.editor.edit(self.walk, z, alpha, name=name,
-                                    index=0 if index_ is None else index_)
+                                    index=index_)
         return self.editor.edit(self.walk, z, alpha)
 
     def apply_alpha(self, graph_inputs, alpha_to_graph, layers=None, name=None,

@@ -252,16 +252,37 @@ class Editor:
     def _frozen_device(self):
         """Device copy of the frozen towers shared by every jitted inference
         path; re-issued when a tower object is swapped (checkpoint load,
-        replicate_editor)."""
-        key = tuple(
-            id(t) for t in (self.g_params, self.reg_params, self.vgg_params,
-                            self.d_params)
-        )
+        replicate_editor). The cache entry RETAINS the host trees it was
+        keyed on: an id()-only key could otherwise serve stale device weights
+        after a swapped-out tree is freed and CPython reuses its id."""
+        towers = (self.g_params, self.reg_params, self.vgg_params,
+                  self.d_params)
+        key = tuple(id(t) for t in towers)
         cached = getattr(self, "_frozen_dev_cache", None)
         if cached is None or cached[0] != key:
             # no-op for arrays already on device (incl. mesh-replicated ones)
-            self._frozen_dev_cache = (key, jax.device_put(self.frozen_params()))
-        return self._frozen_dev_cache[1]
+            self._frozen_dev_cache = (
+                key, towers, jax.device_put(self.frozen_params())
+            )
+        return self._frozen_dev_cache[2]
+
+    def _require_alpha_walk(self, path: str) -> None:
+        """The 'embed' walk (WalkEmbed, transform_base.py:21-41) ignores
+        alpha entirely — an alpha-driven panel sweep over it would render P
+        identical images. The reference has no working inference path for it
+        either: its w-path drops name/index_ before the walk call
+        (transform_base.py:381-387, a TypeError) and its z-path with the
+        vis default index_=None broadcasts a [6,1,D] bank slice into the
+        latent (transform_base.py:35-41, shape garbage). Fail loudly and
+        point at the explicit-index route instead of silently editing with
+        bank entry 0."""
+        if self.cfg.walk_kind == "embed":
+            raise ValueError(
+                f"{path} is alpha-driven and the 'embed' walk ignores alpha "
+                "(reference WalkEmbed.forward drops it); use "
+                "compat.get_z_new_tensor(..., index_=<bank index>) to apply "
+                "a specific bank entry"
+            )
 
     def _bank_position(self, index) -> int:
         """Regressor-table attribute id -> column in the trained bank;
@@ -285,6 +306,7 @@ class Editor:
 
         Returns (edited_img, alpha_org, orig_img).
         """
+        self._require_alpha_walk("apply_alpha")
         # reference branch (:576-583): `index` is a regressor-table attribute
         # id, mapped through the bank's attr_idx (an untrained id raises)
         idx_pos = None if index is None else self._bank_position(index)
@@ -345,6 +367,7 @@ class Editor:
         [P*B] — so the generator always sees a chip-filling batch even at the
         B=1..2 sizes vis/eval use. chunk bounds the synthesis program width
         (default SWEEP_CHUNK; panels pad up to a multiple)."""
+        self._require_alpha_walk("sweep")
         pa = jnp.asarray(panel_alphas, jnp.float32)
         if pa.ndim == 2:
             pa = pa[:, :, None]

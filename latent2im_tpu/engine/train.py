@@ -440,14 +440,18 @@ def geometric_train_loop(
     if mesh is not None:
         walk_params = meshlib.replicate(mesh, walk_params)
         opt_state = meshlib.replicate(mesh, opt_state)
-    frozen_dev = jax.device_put(editor.frozen_params())
+    if not use_device:
+        # only the host-warp branch synthesizes outside the step; the device
+        # step holds its own tower copy, and a second one here would burn
+        # HBM headroom the 1024px configs need
+        frozen_dev = jax.device_put(editor.frozen_params())
 
-    def _orig(frozen, z):
-        ed = editor.with_params(frozen)
-        latent = ed.get_w(z) if cfg.latent == "w" else z
-        return ed.synthesize(latent)
+        def _orig(frozen, z):
+            ed = editor.with_params(frozen)
+            latent = ed.get_w(z) if cfg.latent == "w" else z
+            return ed.synthesize(latent)
 
-    orig_fn = jax.jit(_orig)
+        orig_fn = jax.jit(_orig)
 
     history: list[float] = []
     for epoch in range(start_epoch, n_epochs):

@@ -74,6 +74,35 @@ def test_compat_get_train_alpha_train_embed():
     assert idx is None
 
 
+def test_embed_inference_paths_fail_loudly():
+    """Alpha-driven inference over an alpha-less walk must raise, not render
+    P identical bank-0 panels. The reference has no working inference path
+    for WalkEmbed either: its w-path drops name/index_ before the walk call
+    (transform_base.py:381-387) and its z-path with the vis default
+    index_=None broadcasts shape garbage (transform_base.py:35-41)."""
+    from latent2im_tpu import compat
+
+    editor, walk, info = _tiny_embed_editor()
+    task = get_task("face", nsliders=1)
+    z = np.zeros((2, editor.cfg.dim_z), np.float32)
+    alpha = np.full((2, 1), 0.7, np.float32)
+
+    with pytest.raises(ValueError, match="embed"):
+        editor.apply_alpha(walk, z, alpha)
+    with pytest.raises(ValueError, match="embed"):
+        editor.sweep(walk, z, np.full((3, 2), 0.5, np.float32))
+
+    g = compat.CompatGraph(editor, task, walk, info, seed=0)
+    with pytest.raises(ValueError, match="index_"):
+        g.get_z_new_tensor(z, alpha)  # missing bank index
+    # an explicit bank index applies that entry
+    z_new = np.asarray(g.get_z_new_tensor(z, alpha, name="Smiling", index_=3))
+    bank = np.asarray(walk["w"]["Smiling"])
+    np.testing.assert_allclose(
+        z_new, z + bank[3, 0].sum(axis=-1)[None, :], rtol=1e-6
+    )
+
+
 @pytest.mark.slow
 def test_train_embed_trains_sampled_bank_entries():
     editor, walk, info = _tiny_embed_editor()
