@@ -330,3 +330,33 @@ def test_epoch_z_matches_reference_rng():
     z = sample_epoch_z(4, 8, seed=3)
     want = np.random.RandomState(3).randn(4, 8).astype(np.float32)
     np.testing.assert_allclose(z, want)
+
+
+def test_tower_swap_reissues_frozen_device_copy():
+    """Rebinding a tower (eval.py/vis_w.py `editor.g_params = g_new` on
+    --save_path_gan) must invalidate the cached device copy — the jitted
+    inference paths would otherwise keep editing with the OLD generator. The
+    cache also retains the host trees it was keyed on so a freed tree's id()
+    can't be reused to fake a hit."""
+    key = jax.random.PRNGKey(7)
+    kg, kg2, kr = jax.random.split(key, 3)
+    g = sg2.init_generator(kg, SIZE, style_dim=STYLE_DIM, n_mlp=2,
+                           channels=TINY_CHANNELS)
+    r = _tiny_resnet_like(kr)
+    cfg = EditorConfig(attr_list=("Smiling",), attr_idx=(31,), size=SIZE,
+                       dim_z=STYLE_DIM, walk_kind="linear_w")
+    ed = Editor(cfg, g, reg_params=r)
+    walk = init_walk(jax.random.PRNGKey(5), "linear_w", STYLE_DIM,
+                     cfg.n_latent, ["Smiling"])
+    z = np.random.RandomState(0).randn(2, STYLE_DIM).astype(np.float32)
+    alpha = np.full((2, 1), 0.9, np.float32)
+
+    out1, _, _ = ed.apply_alpha(walk, z, alpha)
+    cache1 = ed._frozen_dev_cache
+    assert cache1[1][0] is g  # retains the host tree it was keyed on
+
+    ed.g_params = sg2.init_generator(kg2, SIZE, style_dim=STYLE_DIM, n_mlp=2,
+                                     channels=TINY_CHANNELS)
+    out2, _, _ = ed.apply_alpha(walk, z, alpha)
+    assert ed._frozen_dev_cache is not cache1  # re-issued, not served stale
+    assert not np.allclose(np.asarray(out1), np.asarray(out2))
