@@ -100,12 +100,26 @@ def run(opt, conf):
                     **task_kwargs_from_options(conf))
     panel_alphas = task.test_alphas()
 
-    # optional data-parallel sharding of the eval batches (additive vs the
-    # single-GPU reference): replicate towers, shard z, identical report —
-    # equivalence-tested on the virtual 8-device mesh
+    # optional multi-device sharding of the eval batches (additive vs the
+    # single-GPU reference): --n_devices shards batches data-parallel,
+    # --sp_devices spatially partitions synthesis rows (combining as a
+    # (data x spatial) mesh); identical report — equivalence-tested on the
+    # virtual 8-device mesh
+    import contextlib
+
     n_dev = getattr(opt, "n_devices", None) or 1
+    n_sp = getattr(opt, "sp_devices", None) or 1
     mesh = None
-    if n_dev > 1:
+    sp_ctx = contextlib.nullcontext()
+    if n_sp > 1:
+        from ..parallel import mesh as meshlib
+        from ..parallel import spatial as splib
+
+        mesh = splib.make_mesh_spatial(n_spatial=n_sp, n_data=n_dev)
+        editor, walk_params, sp_ctx = splib.spatial_editor(
+            editor, walk_params, mesh
+        )
+    elif n_dev > 1:
         from ..parallel import mesh as meshlib
 
         mesh = meshlib.make_mesh(n_dev)
@@ -114,41 +128,42 @@ def run(opt, conf):
 
     zs = sample_epoch_z(opt.num_samples, editor.cfg.dim_z, seed=opt.noise_seed)
     report = {}
-    for a_pos, attr in enumerate(editor.cfg.attr_list):
-        acc = ev.EvalAccumulator()
-        for bs in range(0, opt.num_samples, BATCH):
-            z = zs[bs : bs + BATCH]
-            nb = z.shape[0]
-            if mesh is not None:
-                z = meshlib.shard_batch(mesh, z, pad=True)
-            panels = np.stack(
-                [task.scale_test_alpha(a, z.shape[0]) for a in panel_alphas]
-            ).astype(np.float32)
-            imgs, alpha_org, orig = editor.sweep(walk_params, z, panels)
-            if z.shape[0] != nb:  # drop mesh padding rows
-                imgs, alpha_org, orig = imgs[:, :nb], alpha_org[:nb], orig[:nb]
-            orig_u8 = imgmod.to_uint8(orig)
-            org_all = np.asarray(editor.regress_all(orig))
-            # one regressor call over all panels (flattened [P*B, ...])
-            p, b = imgs.shape[0], imgs.shape[1]
-            preds_all = np.asarray(
-                editor.regress_all(imgs.reshape(p * b, *imgs.shape[2:]))
-            ).reshape(p, b, -1)
-            for pi in range(p):
-                acc.add_batch(
-                    preds_all[pi], org_all, imgmod.to_uint8(imgs[pi]), orig_u8,
-                    target_idx=editor.cfg.attr_idx[a_pos],
-                )
-        identity = ev.identity_preservation(acc, embed_fn)
-        attr_pres = ev.attribute_preservation(acc, editor.cfg.attr_idx[a_pos])
-        report[attr] = {
-            "bucket_counts": acc.counts(),
-            "identity_preservation": identity,
-            "attribute_preservation": attr_pres,
-        }
-        print(f"[{attr}] buckets(<=0.3/0.6/1.0): {acc.counts()}")
-        print(f"[{attr}] identity preservation ({embed_name}): {identity}")
-        print(f"[{attr}] attribute preservation: {attr_pres}")
+    with sp_ctx:
+        for a_pos, attr in enumerate(editor.cfg.attr_list):
+            acc = ev.EvalAccumulator()
+            for bs in range(0, opt.num_samples, BATCH):
+                z = zs[bs : bs + BATCH]
+                nb = z.shape[0]
+                if mesh is not None:
+                    z = meshlib.shard_batch(mesh, z, pad=True)
+                panels = np.stack(
+                    [task.scale_test_alpha(a, z.shape[0]) for a in panel_alphas]
+                ).astype(np.float32)
+                imgs, alpha_org, orig = editor.sweep(walk_params, z, panels)
+                if z.shape[0] != nb:  # drop mesh padding rows
+                    imgs, alpha_org, orig = imgs[:, :nb], alpha_org[:nb], orig[:nb]
+                orig_u8 = imgmod.to_uint8(orig)
+                org_all = np.asarray(editor.regress_all(orig))
+                # one regressor call over all panels (flattened [P*B, ...])
+                p, b = imgs.shape[0], imgs.shape[1]
+                preds_all = np.asarray(
+                    editor.regress_all(imgs.reshape(p * b, *imgs.shape[2:]))
+                ).reshape(p, b, -1)
+                for pi in range(p):
+                    acc.add_batch(
+                        preds_all[pi], org_all, imgmod.to_uint8(imgs[pi]), orig_u8,
+                        target_idx=editor.cfg.attr_idx[a_pos],
+                    )
+            identity = ev.identity_preservation(acc, embed_fn)
+            attr_pres = ev.attribute_preservation(acc, editor.cfg.attr_idx[a_pos])
+            report[attr] = {
+                "bucket_counts": acc.counts(),
+                "identity_preservation": identity,
+                "attribute_preservation": attr_pres,
+            }
+            print(f"[{attr}] buckets(<=0.3/0.6/1.0): {acc.counts()}")
+            print(f"[{attr}] identity preservation ({embed_name}): {identity}")
+            print(f"[{attr}] attribute preservation: {attr_pres}")
 
     out_dir = opt.output_dir or "."
     os.makedirs(out_dir, exist_ok=True)

@@ -85,16 +85,40 @@ def run(opt, conf):
         print(f"editing {len(latents)} inverted latents from {latents_dir}")
     zs = sample_epoch_z(opt.num_samples, editor.cfg.dim_z, seed=opt.noise_seed)
 
-    # optional data-parallel sharding of the sweep batches (additive vs the
-    # single-GPU reference; identical panels, equivalence-tested)
+    # optional multi-device sharding of the sweeps (additive vs the
+    # single-GPU reference; identical panels, equivalence-tested):
+    # --n_devices shards batches data-parallel; --sp_devices spatially
+    # partitions activation rows (the route when the batch is too small to
+    # shard — vis runs at B=1..8); together they form a (data x spatial) mesh.
+    import contextlib
+
     n_dev = getattr(opt, "n_devices", None) or 1
+    n_sp = getattr(opt, "sp_devices", None) or 1
     mesh = None
-    if n_dev > 1:
+    sp_ctx = contextlib.nullcontext()
+    if n_sp > 1:
+        from ..parallel import mesh as meshlib
+        from ..parallel import spatial as splib
+
+        mesh = splib.make_mesh_spatial(n_spatial=n_sp, n_data=n_dev)
+        editor, walk_params, sp_ctx = splib.spatial_editor(
+            editor, walk_params, mesh
+        )
+    elif n_dev > 1:
         from ..parallel import mesh as meshlib
 
         mesh = meshlib.make_mesh(n_dev)
         editor, walk_params = meshlib.replicate_editor(editor, walk_params,
                                                        mesh)
+    with sp_ctx:
+        return _run_sweeps(opt, editor, walk_params, task, alphas, latents,
+                           zs, mesh, output_dir)
+
+
+def _run_sweeps(opt, editor, walk_params, task, alphas, latents, zs, mesh,
+                output_dir):
+    if mesh is not None:
+        from ..parallel import mesh as meshlib
 
     combine = getattr(opt, "combine_indices", "")
     if combine:

@@ -263,6 +263,12 @@ class VisOptions:
         p.add_argument("--n_devices", type=int, default=None,
                        help="shard inference batches data-parallel over this "
                             "many devices (default: single device)")
+        p.add_argument("--sp_devices", type=int, default=None,
+                       help="spatially partition synthesis activation rows "
+                            "over this many devices (combines with "
+                            "--n_devices as a (data x spatial) mesh; the "
+                            "multi-chip route at batch sizes too small for "
+                            "data parallelism)")
 
     def parse(self, args=None):
         opt = self.parser.parse_args(args)

@@ -239,6 +239,9 @@ class Editor:
         trace). A closure would embed every tower weight as an HLO constant
         — at 1024px that's a >100MB program payload the axon compile tunnel
         rejects (the same rule the train steps follow, train.py:75-78)."""
+        # a program traced under one spatial-partitioning hint must not be
+        # reused under another (parallel/spatial.py installs the hint)
+        name = f"{name}_sp{sg2.spatial_token()}"
         if name not in self._jit_cache:
 
             def wrapped(frozen, *args):

@@ -250,6 +250,36 @@ PAIR_CONV = False
 FAST_CHAIN = False
 
 
+# ---------------------------------------------------------------------------
+# spatial partitioning (sp) hook
+# ---------------------------------------------------------------------------
+#
+# parallel/spatial.py installs a callable here that applies an H-axis
+# jax.lax.with_sharding_constraint to synthesis activations once they are
+# tall enough to split over the mesh's 'spatial' axis. GSPMD then partitions
+# every conv spatially, inserting the 3x3 halo exchanges (collective-permute
+# over ICI) itself — the TPU-native route to multi-chip speedup at the B=1..2
+# batch sizes vis/eval use, where data parallelism has nothing to shard.
+# None -> single-chip behavior, zero overhead (the hook is an identity).
+_SPATIAL_HINT = None
+_SPATIAL_BOUNDARY = None  # applied to the final rgb (see spatial.py)
+_SPATIAL_TOKEN = 0  # bumped on every install; jit caches key on it
+
+
+def spatial_token() -> int:
+    """Cache-key component for jitted paths that trace through synthesize:
+    a program traced under one hint must not be reused under another."""
+    return _SPATIAL_TOKEN
+
+
+def _spatial_constrain(x):
+    return _SPATIAL_HINT(x) if _SPATIAL_HINT is not None else x
+
+
+def _spatial_boundary(x):
+    return _SPATIAL_BOUNDARY(x) if _SPATIAL_BOUNDARY is not None else x
+
+
 def _space_to_depth(x):
     b, h, w, c = x.shape
     x = x.reshape(b, h // 2, 2, w // 2, 2, c)
@@ -520,14 +550,22 @@ def synthesize(
         x = styled_conv(
             params["convs"][idx], x, latent[:, i], noise[idx + 1], upsample=True, impl=impl
         )
+        x = _spatial_constrain(x)
         x = styled_conv(
             params["convs"][idx + 1], x, latent[:, i + 1], noise[idx + 2], impl=impl
         )
+        x = _spatial_constrain(x)
         skip = to_rgb(
             params["to_rgbs"][idx // 2], x, latent[:, i + 2], skip, impl=impl
         )
         i += 2
-    return skip.astype(jnp.float32)
+    # Spatial partitioning stops at the generator boundary: the rgb output
+    # re-constrains to batch-only sharding so consumer towers (R/VGG/D, whose
+    # late stages collapse H below the mesh axis) never inherit an
+    # over-sharded spatial dim — the partitioner mis-transposes stride-2 conv
+    # VJPs once shards outnumber rows (measured: grads 70x off at H=1..2 on a
+    # 4-way axis, forward exact; tests/test_spatial.py).
+    return _spatial_boundary(skip.astype(jnp.float32))
 
 
 def generator_forward(
