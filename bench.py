@@ -206,11 +206,12 @@ def main():
     sweep_rates = {}
     sweep_chunks = {}
     sweep_ed = ed.with_params(frozen)
-    for b in (1, 2):
+    for b in (1, 2, 8):
         # B=2 (a width-20 program) has OOM'd when run right after B=1 with
         # its width-10 executable still loaded; fall back to a narrower
         # synthesis chunk rather than dying (the driver runs this
-        # unattended), and record the chunk actually used.
+        # unattended), and record the chunk actually used. B=8 is the
+        # production width (vis_w batches 8 z per sweep).
         for chunk in (None, 10, 5):
             try:
                 sweep_rates[b] = bench_sweep(sweep_ed, walk, b, chunk=chunk)
