@@ -19,6 +19,7 @@ so this is the north-star target ratio, not a measured torch run.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
@@ -219,8 +220,18 @@ def main():
                 break
             except Exception as e:  # noqa: PERF203, BLE001 — OOM surfaces as
                 # JaxRuntimeError OR ValueError depending on the sync point
-                if "RESOURCE_EXHAUSTED" not in str(e) or chunk == 5:
+                if "RESOURCE_EXHAUSTED" not in str(e):
                     raise
+                if chunk == 5:
+                    # a sweep's [P,B,1024,1024,3] f32 OUTPUT stack is
+                    # chunk-independent (~1 GB at B=8): when that allocation
+                    # is what's short, no chunk narrowing helps — record the
+                    # miss and keep the bench alive (the driver runs this
+                    # unattended; the headline edit metric must still print)
+                    print(f"sweep B={b}: RESOURCE_EXHAUSTED at every chunk, "
+                          "skipping", file=sys.stderr)
+                    sweep_rates[b] = None
+                    break
                 # retry on a FRESH editor: with_params makes a new instance
                 # with an empty jit cache, dropping the just-OOM'd executable
                 # instead of piling a narrower program on top of it
@@ -257,6 +268,9 @@ def main():
     if edit_flops:
         rec["flops_per_img"] = round(edit_flops / BATCH / 1e9, 2)  # GFLOP
     for b, rate in sweep_rates.items():
+        if rate is None:  # OOM'd at every chunk; see the stderr note
+            rec[f"sweep_b{b}_oom"] = True
+            continue
         rec[f"sweep_panel_imgs_per_s_b{b}"] = round(rate, 2)
         if sweep_chunks.get(b) is not None:
             rec[f"sweep_b{b}_chunk"] = sweep_chunks[b]

@@ -105,26 +105,12 @@ def run(opt, conf):
     # --sp_devices spatially partitions synthesis rows (combining as a
     # (data x spatial) mesh); identical report — equivalence-tested on the
     # virtual 8-device mesh
-    import contextlib
+    from ..parallel import mesh as meshlib  # noqa: F401 — used when mesh set
+    from ..parallel.spatial import setup_inference_mesh
 
-    n_dev = getattr(opt, "n_devices", None) or 1
-    n_sp = getattr(opt, "sp_devices", None) or 1
-    mesh = None
-    sp_ctx = contextlib.nullcontext()
-    if n_sp > 1:
-        from ..parallel import mesh as meshlib
-        from ..parallel import spatial as splib
-
-        mesh = splib.make_mesh_spatial(n_spatial=n_sp, n_data=n_dev)
-        editor, walk_params, sp_ctx = splib.spatial_editor(
-            editor, walk_params, mesh
-        )
-    elif n_dev > 1:
-        from ..parallel import mesh as meshlib
-
-        mesh = meshlib.make_mesh(n_dev)
-        editor, walk_params = meshlib.replicate_editor(editor, walk_params,
-                                                       mesh)
+    editor, walk_params, mesh, sp_ctx = setup_inference_mesh(
+        opt, editor, walk_params
+    )
 
     zs = sample_epoch_z(opt.num_samples, editor.cfg.dim_z, seed=opt.noise_seed)
     report = {}

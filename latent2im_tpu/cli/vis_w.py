@@ -90,26 +90,11 @@ def run(opt, conf):
     # --n_devices shards batches data-parallel; --sp_devices spatially
     # partitions activation rows (the route when the batch is too small to
     # shard — vis runs at B=1..8); together they form a (data x spatial) mesh.
-    import contextlib
+    from ..parallel.spatial import setup_inference_mesh
 
-    n_dev = getattr(opt, "n_devices", None) or 1
-    n_sp = getattr(opt, "sp_devices", None) or 1
-    mesh = None
-    sp_ctx = contextlib.nullcontext()
-    if n_sp > 1:
-        from ..parallel import mesh as meshlib
-        from ..parallel import spatial as splib
-
-        mesh = splib.make_mesh_spatial(n_spatial=n_sp, n_data=n_dev)
-        editor, walk_params, sp_ctx = splib.spatial_editor(
-            editor, walk_params, mesh
-        )
-    elif n_dev > 1:
-        from ..parallel import mesh as meshlib
-
-        mesh = meshlib.make_mesh(n_dev)
-        editor, walk_params = meshlib.replicate_editor(editor, walk_params,
-                                                       mesh)
+    editor, walk_params, mesh, sp_ctx = setup_inference_mesh(
+        opt, editor, walk_params
+    )
     with sp_ctx:
         return _run_sweeps(opt, editor, walk_params, task, alphas, latents,
                            zs, mesh, output_dir)
@@ -117,8 +102,7 @@ def run(opt, conf):
 
 def _run_sweeps(opt, editor, walk_params, task, alphas, latents, zs, mesh,
                 output_dir):
-    if mesh is not None:
-        from ..parallel import mesh as meshlib
+    from ..parallel import mesh as meshlib  # noqa: F401 — used when mesh set
 
     combine = getattr(opt, "combine_indices", "")
     if combine:

@@ -28,18 +28,27 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 
 
 def make_mesh_2d(n_data: int | None = None, n_model: int = 1,
-                 devices=None) -> Mesh:
+                 devices=None,
+                 axis_names: tuple[str, str] = ("data", "model")) -> Mesh:
     """2-D ('data', 'model') mesh for combined data + tensor parallelism.
 
     The 'data' axis shards batches (as in make_mesh); the 'model' axis
     shards the big frozen-tower weights/activations (stylegan2_tp_specs).
     On a real slice, lay 'model' along the fastest ICI ring — the per-block
-    psum rides it every step."""
+    psum rides it every step. axis_names lets other parallelism styles
+    reuse the same device-selection logic (spatial.make_mesh_spatial names
+    the second axis 'spatial')."""
     devs = list(devices if devices is not None else jax.devices())
     if n_data is None:
         n_data = len(devs) // n_model
-    devs = devs[: n_data * n_model]
-    return Mesh(np.array(devs).reshape(n_data, n_model), ("data", "model"))
+    need = n_data * n_model
+    if n_data < 1 or need > len(devs):
+        raise ValueError(
+            f"({axis_names[0]} x {axis_names[1]}) mesh wants "
+            f"{n_data}x{n_model} = {need} devices, have {len(devs)}"
+        )
+    devs = devs[:need]
+    return Mesh(np.array(devs).reshape(n_data, n_model), axis_names)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

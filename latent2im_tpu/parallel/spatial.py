@@ -28,10 +28,6 @@ Notes:
 
 from __future__ import annotations
 
-from contextlib import contextmanager
-
-import numpy as np
-
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -43,17 +39,24 @@ def make_mesh_spatial(n_spatial: int | None = None, n_data: int = 1,
     """('data', 'spatial') mesh: batches shard over 'data', activation rows
     over 'spatial'. n_spatial=None takes every remaining device. On a real
     slice, lay 'spatial' along the fastest ICI ring — the per-conv halo
-    exchange rides it."""
-    devs = list(devices if devices is not None else jax.devices())
+    exchange rides it. Raises with a clear message when fewer devices exist
+    than n_data * n_spatial (e.g. --sp_devices on a single-chip host)."""
+    from . import mesh as meshlib
+
     if n_spatial is None:
+        devs = list(devices if devices is not None else jax.devices())
         n_spatial = len(devs) // n_data
-    devs = devs[: n_data * n_spatial]
-    return Mesh(np.array(devs).reshape(n_data, n_spatial), ("data", "spatial"))
+    if n_spatial < 2:
+        raise ValueError(
+            f"spatial partitioning wants >= 2 devices on the 'spatial' "
+            f"axis, got {n_spatial}"
+        )
+    return meshlib.make_mesh_2d(n_data=n_data, n_model=n_spatial,
+                                devices=devices,
+                                axis_names=("data", "spatial"))
 
 
-@contextmanager
-def spatial_partitioning(mesh: Mesh, axis: str = "spatial",
-                         min_rows_per_device: int = 8):
+class spatial_partitioning:
     """Install the H-axis activation-sharding hint for the context's trace.
 
     Every jit trace of ``stylegan2.synthesize`` entered under this context
@@ -61,48 +64,62 @@ def spatial_partitioning(mesh: Mesh, axis: str = "spatial",
     H divides the axis and clears min_rows_per_device. Jitted paths key their
     caches on ``stylegan2.spatial_token()`` (Editor._jit does), so programs
     traced under different hints never mix.
+
+    A class, not a @contextmanager generator, so one instance is REUSABLE
+    across sequential with-blocks (and nestable — prior state restores from
+    a per-instance stack); spatial_editor hands its context to callers who
+    may reasonably open it once per batch loop.
     """
-    n = int(mesh.shape[axis])
-    batch_axis = "data" if "data" in mesh.shape else None
 
-    def hint(x):
-        h = int(x.shape[1])
-        if h % n == 0 and h >= n * min_rows_per_device:
+    def __init__(self, mesh: Mesh, axis: str = "spatial",
+                 min_rows_per_device: int = 8):
+        n = int(mesh.shape[axis])
+        batch_axis = "data" if "data" in mesh.shape else None
+
+        def hint(x):
+            h = int(x.shape[1])
+            if h % n == 0 and h >= n * min_rows_per_device:
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P(batch_axis, axis, None, None))
+                )
+            return x
+
+        def boundary(x):
+            # spatial sharding ends at the generator's rgb output: consumer
+            # towers (R/VGG/D) have late stages whose H collapses below the
+            # mesh axis, where the partitioner mis-transposes stride-2 conv
+            # VJPs (shards > rows => wrong gradients, forward exact —
+            # measured in tests/test_spatial.py). Their compute is small
+            # next to G's; dp covers them when B > 1.
             return jax.lax.with_sharding_constraint(
-                x, NamedSharding(mesh, P(batch_axis, axis, None, None))
+                x, NamedSharding(mesh, P(batch_axis, None, None, None))
             )
-        return x
 
-    def boundary(x):
-        # spatial sharding ends at the generator's rgb output: consumer
-        # towers (R/VGG/D) have late stages whose H collapses below the mesh
-        # axis, where the partitioner mis-transposes stride-2 conv VJPs
-        # (shards > rows => wrong gradients, forward exact — measured in
-        # tests/test_spatial.py). Their compute is small next to G's; dp
-        # covers them when B > 1.
-        return jax.lax.with_sharding_constraint(
-            x, NamedSharding(mesh, P(batch_axis, None, None, None))
-        )
+        self._hint, self._boundary = hint, boundary
+        self._stack = []
 
-    prev, prev_token = sg2._SPATIAL_HINT, sg2._SPATIAL_TOKEN
-    prev_boundary = sg2._SPATIAL_BOUNDARY
-    # JAX's jaxpr-level trace cache keys on (function, avals) — NOT on this
-    # module-global hint — so a same-shape trace from before the context
-    # would be silently reused WITHOUT the constraint (measured: the stale
-    # unhinted program runs replicated). Entering/exiting spatial mode is a
-    # setup-time event; dropping the caches buys correctness for every call
-    # pattern at the cost of a retrace. Editor._jit additionally salts its
-    # cache names with spatial_token() so its own compiled handles never mix.
-    jax.clear_caches()
-    sg2._SPATIAL_HINT = hint
-    sg2._SPATIAL_BOUNDARY = boundary
-    sg2._SPATIAL_TOKEN += 1
-    try:
-        yield
-    finally:
-        sg2._SPATIAL_HINT, sg2._SPATIAL_TOKEN = prev, prev_token
-        sg2._SPATIAL_BOUNDARY = prev_boundary
+    def __enter__(self):
+        # JAX's jaxpr-level trace cache keys on (function, avals) — NOT on
+        # the module-global hint — so a same-shape trace from before the
+        # context would be silently reused WITHOUT the constraint (measured:
+        # the stale unhinted program runs replicated). Entering/exiting
+        # spatial mode is a setup-time event; dropping the caches buys
+        # correctness for every call pattern at the cost of a retrace.
+        # Editor._jit additionally salts its cache names with
+        # spatial_token() so its own compiled handles never mix. The token
+        # only ever increments (never restores) so no two installs alias.
+        self._stack.append((sg2._SPATIAL_HINT, sg2._SPATIAL_BOUNDARY))
         jax.clear_caches()
+        sg2._SPATIAL_HINT = self._hint
+        sg2._SPATIAL_BOUNDARY = self._boundary
+        sg2._SPATIAL_TOKEN += 1
+        return self
+
+    def __exit__(self, *exc):
+        sg2._SPATIAL_HINT, sg2._SPATIAL_BOUNDARY = self._stack.pop()
+        sg2._SPATIAL_TOKEN += 1
+        jax.clear_caches()
+        return False
 
 
 def spatial_editor(editor, walk_params, mesh: Mesh,
@@ -125,3 +142,27 @@ def spatial_editor(editor, walk_params, mesh: Mesh,
     return ed, jax.device_put(walk_params, repl), spatial_partitioning(
         mesh, min_rows_per_device=min_rows_per_device
     )
+
+
+def setup_inference_mesh(opt, editor, walk_params):
+    """Shared CLI device-setup policy (vis_w / eval): --sp_devices builds a
+    (data x spatial) mesh and a spatial_partitioning context; otherwise
+    --n_devices replicates for plain data parallelism; otherwise single
+    device. Returns (editor, walk_params, mesh, ctx) — callers run every
+    Editor program inside ``with ctx:`` and shard batches over `mesh` when
+    it is not None."""
+    import contextlib
+
+    n_dev = getattr(opt, "n_devices", None) or 1
+    n_sp = getattr(opt, "sp_devices", None) or 1
+    if n_sp > 1:
+        mesh = make_mesh_spatial(n_spatial=n_sp, n_data=n_dev)
+        ed, wp, ctx = spatial_editor(editor, walk_params, mesh)
+        return ed, wp, mesh, ctx
+    if n_dev > 1:
+        from . import mesh as meshlib
+
+        mesh = meshlib.make_mesh(n_dev)
+        ed, wp = meshlib.replicate_editor(editor, walk_params, mesh)
+        return ed, wp, mesh, contextlib.nullcontext()
+    return editor, walk_params, None, contextlib.nullcontext()

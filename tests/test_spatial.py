@@ -71,11 +71,29 @@ def test_spatial_hint_actually_partitions():
 def test_hint_restored_and_token_bumped():
     mesh = sp.make_mesh_spatial(n_spatial=4, n_data=2)
     t0 = sg2.spatial_token()
-    with sp.spatial_partitioning(mesh):
-        assert sg2.spatial_token() != t0
+    ctx = sp.spatial_partitioning(mesh)
+    with ctx:
+        t_in = sg2.spatial_token()
+        assert t_in != t0
         assert sg2._SPATIAL_HINT is not None
-    assert sg2.spatial_token() == t0
+    # the hint restores; the token only ever increments so no two installs
+    # can alias a jit-cache key
+    assert sg2.spatial_token() not in (t0, t_in)
     assert sg2._SPATIAL_HINT is None
+    # the context object is REUSABLE (spatial_editor hands it to callers who
+    # may open it once per batch loop) — a second with-block must work
+    with ctx:
+        assert sg2._SPATIAL_HINT is not None
+    assert sg2._SPATIAL_HINT is None
+
+
+def test_make_mesh_spatial_validates_device_count():
+    import pytest
+
+    with pytest.raises(ValueError, match="devices"):
+        sp.make_mesh_spatial(n_spatial=16, n_data=2)  # 32 > 8 virtual devs
+    with pytest.raises(ValueError, match="spatial"):
+        sp.make_mesh_spatial(n_spatial=1, n_data=2)
 
 
 def test_vis_w_sp_devices_cli(tmp_path):
