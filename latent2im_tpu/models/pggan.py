@@ -200,6 +200,12 @@ def generator_forward(params: Params, z, step: int = 6, alpha: float = 0.0,
     else:
         out = pixel_norm(z)[:, None, None, :]
 
+    # spatial-partitioning hook shared with stylegan2 (parallel/spatial.py
+    # installs it; identity when inactive): activation rows shard over the
+    # 'spatial' mesh axis, and the rgb output re-constrains to batch-only
+    # sharding so consumer towers never inherit an over-sharded H
+    from .stylegan2 import _spatial_boundary, _spatial_constrain
+
     upsample = None
     for i in range(step + 1):
         blk = params["progression"][i]
@@ -209,12 +215,13 @@ def generator_forward(params: Params, z, step: int = 6, alpha: float = 0.0,
             out = conv_block(blk, upsample, use_pixel_norm=True, pads=pads)
         else:
             out = conv_block(blk, out, use_pixel_norm=True, pads=pads)
+        out = _spatial_constrain(out)
         if i == step:
             out = _plain_conv(params["to_rgb"][i], out)
             if i > 0 and 0 <= alpha < 1:
                 skip_rgb = _plain_conv(params["to_rgb"][i - 1], upsample)
                 out = (1 - alpha) * skip_rgb + alpha * out
-    return out.astype(jnp.float32)
+    return _spatial_boundary(out.astype(jnp.float32))
 
 
 # ---------------------------------------------------------------------------

@@ -96,6 +96,28 @@ def test_make_mesh_spatial_validates_device_count():
         sp.make_mesh_spatial(n_spatial=1, n_data=2)
 
 
+def test_pggan_synthesis_spatial_equals_single_device():
+    """The sp hook is shared across generator families: the pggan forward
+    under the hint must match single-device (same contract as stylegan2)."""
+    from latent2im_tpu.models import pggan
+
+    g = pggan.init_generator(jax.random.PRNGKey(3))
+    z = jnp.asarray(  # dim_z = 502: the label embedding pads z to 512
+        np.random.RandomState(4).randn(2, 502).astype(np.float32)
+    )
+    step = 4  # 64px — enough rows for a 4-way spatial axis
+    ref = np.asarray(jax.jit(
+        lambda zz: pggan.generator_forward(g, zz, step=step)
+    )(z))
+
+    mesh = sp.make_mesh_spatial(n_spatial=4, n_data=2)
+    with sp.spatial_partitioning(mesh, min_rows_per_device=2):
+        out = np.asarray(jax.jit(
+            lambda zz: pggan.generator_forward(g, zz, step=step)
+        )(z))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
+
+
 def test_vis_w_sp_devices_cli(tmp_path):
     """vis_w --sp_devices 4 --n_devices 2 (a 2x4 data x spatial mesh)
     produces the same panels as the single-device run (uint8 within 1)."""
