@@ -208,6 +208,10 @@ def generator_forward(params: Params, z, alpha: float = 0.0, dtype=jnp.float32):
     for conv in params["group_scale0"]:
         x = pixel_norm(jax.nn.leaky_relu(_conv(conv, x), 0.2))
 
+    # shared spatial-partitioning hook (parallel/spatial.py; identity when
+    # inactive): rows shard over 'spatial', rgb re-constrains to batch-only
+    from .stylegan2 import _spatial_boundary, _spatial_constrain
+
     prev_rgb = None
     n = len(params["scales"])
     for si, group in enumerate(params["scales"]):
@@ -216,7 +220,8 @@ def generator_forward(params: Params, z, alpha: float = 0.0, dtype=jnp.float32):
         x = _upscale(x)
         for conv in group:
             x = pixel_norm(jax.nn.leaky_relu(_conv(conv, x), 0.2))
+        x = _spatial_constrain(x)
     out = _conv(params["to_rgbs"][-1], x, padding=0)
     if prev_rgb is not None:
         out = alpha * prev_rgb + (1.0 - alpha) * out
-    return out.astype(jnp.float32)
+    return _spatial_boundary(out.astype(jnp.float32))

@@ -246,6 +246,10 @@ def styled_generator_forward(
         ]
     inject = list(inject_index or [len(params["progression"]) + 1])
 
+    # shared spatial-partitioning hook (parallel/spatial.py; identity when
+    # inactive)
+    from .stylegan2 import _spatial_boundary, _spatial_constrain
+
     out = None
     out_prev = None
     crossover = 0
@@ -269,10 +273,11 @@ def styled_generator_forward(
             upsample=(i > 0),
             fused=(i >= fused_from),
         )
+        out = _spatial_constrain(out)
         if i == step:
             out = _equal_conv(params["to_rgb"][i], out)
             if i > 0 and 0 <= alpha < 1:
                 skip = _equal_conv(params["to_rgb"][i - 1], out_prev)
                 skip = _upsample_nearest(skip)
                 out = (1 - alpha) * skip + alpha * out
-    return out.astype(jnp.float32)
+    return _spatial_boundary(out.astype(jnp.float32))

@@ -118,6 +118,41 @@ def test_pggan_synthesis_spatial_equals_single_device():
     np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)
 
 
+def test_stylegan1_and_zoo_spatial_equal_single_device():
+    """The hook also covers the StyleGAN1 (model.py) and hub GAN-zoo PGAN
+    generator families."""
+    from latent2im_tpu.models import pgan_zoo, stylegan1
+
+    mesh = sp.make_mesh_spatial(n_spatial=4, n_data=2)
+
+    g1 = stylegan1.init_styled_generator(jax.random.PRNGKey(5), code_dim=32,
+                                         n_mlp=2)
+    z1 = jnp.asarray(np.random.RandomState(6).randn(2, 32).astype(np.float32))
+    noise = [
+        jnp.asarray(
+            np.random.RandomState(10 + i).randn(2, 4 * 2**i, 4 * 2**i, 1)
+            .astype(np.float32)
+        )
+        for i in range(5)
+    ]
+    f1 = lambda zz: stylegan1.styled_generator_forward(  # noqa: E731
+        g1, zz, noise=noise, step=4
+    )
+    ref1 = np.asarray(jax.jit(f1)(z1))
+    with sp.spatial_partitioning(mesh, min_rows_per_device=2):
+        out1 = np.asarray(jax.jit(f1)(z1))
+    np.testing.assert_allclose(out1, ref1, atol=3e-5, rtol=3e-5)
+
+    gz = pgan_zoo.init_generator(jax.random.PRNGKey(7), dim_latent=32,
+                                 depths=(16, 16, 8, 8))
+    zz0 = jnp.asarray(np.random.RandomState(8).randn(2, 32).astype(np.float32))
+    fz = lambda zz: pgan_zoo.generator_forward(gz, zz)  # noqa: E731
+    refz = np.asarray(jax.jit(fz)(zz0))
+    with sp.spatial_partitioning(mesh, min_rows_per_device=2):
+        outz = np.asarray(jax.jit(fz)(zz0))
+    np.testing.assert_allclose(outz, refz, atol=3e-5, rtol=3e-5)
+
+
 def test_vis_w_sp_devices_cli(tmp_path):
     """vis_w --sp_devices 4 --n_devices 2 (a 2x4 data x spatial mesh)
     produces the same panels as the single-device run (uint8 within 1)."""
