@@ -81,9 +81,29 @@ def run(opt, n_epoch_default: int = N_EPOCH_SINGLE, save_loss_artifacts: bool = 
             logging.info("resuming from %s at epoch %d", latest, start_epoch)
 
     n_devices = getattr(opt, "n_devices", None)
-    mesh = meshlib.make_mesh(n_devices)
+    n_sp = getattr(opt, "sp_devices", None) or 1
+    if n_sp > 1:
+        # (data x spatial) training mesh: the global batch shards over
+        # 'data'; synthesis activation rows shard over 'spatial' (the jitted
+        # step traces under the spatial_partitioning context below)
+        import jax as _jax
+
+        from ..parallel.spatial import make_mesh_spatial, spatial_partitioning
+
+        mesh = make_mesh_spatial(
+            n_spatial=n_sp,
+            n_data=n_devices or max(1, len(_jax.devices()) // n_sp),
+        )
+        sp_ctx = spatial_partitioning(mesh)
+    else:
+        import contextlib
+
+        mesh = meshlib.make_mesh(n_devices)
+        sp_ctx = contextlib.nullcontext()
     n_epochs = opt.n_epochs or n_epoch_default
-    batch = opt.batch_size * len(mesh.devices)
+    # the global batch scales with the data axis only (a 2-D mesh's spatial
+    # axis multiplies per-sample compute, not samples)
+    batch = opt.batch_size * int(mesh.shape["data"])
 
     writer = _maybe_tensorboard(os.path.join(output_dir, "logs"))
     save_freq = opt.model_save_freq
@@ -151,7 +171,7 @@ def run(opt, n_epoch_default: int = N_EPOCH_SINGLE, save_loss_artifacts: bool = 
         logging.warning("preemption checkpoint written: %s", path)
 
     try:
-        with logmod.profile_trace(getattr(opt, "profile_dir", "")):
+        with logmod.profile_trace(getattr(opt, "profile_dir", "")), sp_ctx:
             if geometric:
                 from ..engine.train import geometric_train_loop
 

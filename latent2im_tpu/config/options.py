@@ -90,6 +90,12 @@ def _build_train_parser() -> argparse.ArgumentParser:
                         help="bfloat16 compute for frozen towers")
     parser.add_argument("--n_devices", type=int, default=None,
                         help="restrict the data-parallel mesh size")
+    parser.add_argument("--sp_devices", type=int, default=None,
+                        help="spatially partition synthesis activation rows "
+                             "over this many devices during training "
+                             "(combines with --n_devices as a "
+                             "(data x spatial) mesh; for memory-bound "
+                             "high-res configs at small per-device batch)")
     parser.add_argument("--g_path", type=str, default="",
                         help="StyleGAN2 .pt checkpoint (g_ema [+ d]) to convert")
     parser.add_argument("--reg_path", type=str, default="",

@@ -27,6 +27,17 @@ def _tiny_g(size=32):
     return sg2.init_generator(key, size, style_dim=32, n_mlp=2, channels=TINY)
 
 
+def _tiny_editor():
+    key = jax.random.PRNGKey(0)
+    kg, kr, kw = jax.random.split(key, 3)
+    g = sg2.init_generator(kg, 32, style_dim=32, n_mlp=2, channels=TINY)
+    cfg = EditorConfig(size=32, dim_z=32, walk_kind="linear_w",
+                       attr_list=("Smiling",), attr_idx=(31,))
+    ed = Editor(cfg, g, reg_params=rn.init_resnet50(kr, num_outputs=40))
+    walk = init_walk(kw, "linear_w", 32, cfg.n_latent, ["Smiling"])
+    return ed, walk
+
+
 def _latent(g, batch=2):
     z = np.random.RandomState(1).randn(batch, 32).astype(np.float32)
     w = sg2.style_forward(g, jnp.asarray(z))
@@ -193,6 +204,61 @@ def test_vis_w_sp_devices_cli(tmp_path):
     for a, b in zip(outs["single"], outs["sp"]):
         assert a.shape == b.shape
         assert np.max(np.abs(a.astype(int) - b.astype(int))) <= 1
+
+
+def test_train_cli_sp_devices(tmp_path):
+    """cli.train --sp_devices 4 --n_devices 2: one tiny epoch trains on the
+    2x4 (data x spatial) mesh with finite losses and a moved walk."""
+    import os
+
+    from latent2im_tpu.cli.train import run as train_run
+    from latent2im_tpu.config.options import TrainOptions
+
+    opt = TrainOptions().parse(
+        [
+            "--model", "stylegan_v2_real", "--transform", "face",
+            "--num_samples", "8", "--learning_rate", "1e-3",
+            "--walk_type", "linear", "--loss", "l2", "--attrList", "Smiling",
+            "--attrPath", "/root/repo/dataset/attributes_celeba.txt",
+            "--models_dir", str(tmp_path / "models"), "--overwrite_config",
+            "--dev_tiny", "--resolution", "32", "--n_epochs", "1",
+            "--batch_size", "2", "--n_devices", "2", "--sp_devices", "4",
+        ],
+        print_opt=True,
+    )
+    walk, history = train_run(opt)
+    assert len(history) > 0 and all(np.isfinite(h) for h in history)
+    assert np.abs(np.asarray(walk["w"])).max() > 0
+    assert os.path.isfile(
+        os.path.join(opt.output_dir, "model_w_1_final_walk_module.ckpt")
+    )
+    # the context must have been exited cleanly
+    assert sg2._SPATIAL_HINT is None
+
+
+def test_serve_service_under_sp():
+    """EditService with the sp mesh policy: build_service enters the
+    (reusable) spatial context for the service lifetime; edit + sweep work
+    and slice back to the request batch."""
+    from latent2im_tpu.cli.serve import EditService
+    from latent2im_tpu.tasks.transforms import get_task
+
+    ed, walk = _tiny_editor()
+    mesh = sp.make_mesh_spatial(n_spatial=4, n_data=2)
+    ed_m, walk_m, ctx = sp.spatial_editor(ed, walk, mesh,
+                                          min_rows_per_device=2)
+    ctx.__enter__()
+    try:
+        svc = EditService(ed_m, walk_m, get_task("face"), batch=2,
+                          num_panels=3, min_alpha=0.0, max_alpha=1.0,
+                          mesh=mesh)
+        out = svc.edit({"seed": 1, "num_samples": 1, "alpha": 0.7})
+        assert len(out["images"]) == 1
+        out = svc.sweep({"seed": 2, "num_samples": 2})
+        assert len(out["panels"]) == 3 and len(out["panels"][0]) == 2
+    finally:
+        ctx.__exit__(None, None, None)
+    assert sg2._SPATIAL_HINT is None
 
 
 def test_eval_report_sp_equals_single(tmp_path):
