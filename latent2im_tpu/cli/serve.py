@@ -134,13 +134,11 @@ class EditService:
 
     def sweep(self, req: dict) -> dict:
         z = self._zs(req)
+        # a num_panels different from the warmed default is allowed but is a
+        # different program shape — it costs one compile on first use
         p = int(req.get("num_panels", self.num_panels))
         lo = float(req.get("min_alpha", self.min_alpha))
         hi = float(req.get("max_alpha", self.max_alpha))
-        if p != self.num_panels:
-            # a different panel count is a different program shape; allow it
-            # but tell the client it costs a compile
-            pass
         zp, n = self._pad(z)
         alphas = np.linspace(lo, hi, p)
         panels = np.stack(
