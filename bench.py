@@ -159,7 +159,28 @@ def bench_sweep(ed, walk, batch: int, chunk=None):
     return rate
 
 
+def _await_backend() -> None:
+    """The axon remote has gone UNAVAILABLE for hours after killed 1024px
+    runs (backend init itself fails after ~25 min; docs/NEXT.md ops note).
+    If the unattended driver bench lands mid-outage, one long retry is a
+    better outcome than an immediate crash. L2I_BENCH_RETRIES=0 disables."""
+    import os
+
+    retries = int(os.environ.get("L2I_BENCH_RETRIES", "1"))
+    for attempt in range(retries + 1):
+        try:
+            jax.devices()
+            return
+        except RuntimeError as e:
+            if attempt == retries:
+                raise
+            print(f"backend unavailable ({e}); retrying in 120s",
+                  file=sys.stderr, flush=True)
+            time.sleep(120)
+
+
 def main():
+    _await_backend()
     from latent2im_tpu.engine.editor import Editor, EditorConfig
     from latent2im_tpu.models import resnet as rn
     from latent2im_tpu.models import stylegan2 as sg2
