@@ -8,6 +8,7 @@ the 3x3 halo exchanges; the math is unchanged). Additive vs the reference
 """
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -18,6 +19,12 @@ from latent2im_tpu.models import stylegan2 as sg2
 from latent2im_tpu.parallel import spatial as sp
 from latent2im_tpu.parallel import mesh as meshlib
 from latent2im_tpu.walks import init_walk
+
+# every test here builds an 8-device (data x spatial) mesh; on the real
+# single-chip TPU run (L2I_TEST_TPU=1) they must skip, not fail
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 8, reason="needs 8 devices (virtual CPU mesh)"
+)
 
 TINY = {4: 16, 8: 16, 16: 8, 32: 8, 64: 8}
 
