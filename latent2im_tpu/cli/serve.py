@@ -54,6 +54,65 @@ def _png_b64(img_u8: np.ndarray) -> str:
     return base64.b64encode(buf.getvalue()).decode("ascii")
 
 
+class MicroBatcher:
+    """Cross-request micro-batching for single-sample edits.
+
+    A chip runs one fixed-width program per launch whether 1 or
+    serve_batch rows are real; with concurrent users the padding rows
+    might as well carry other requests. Single-sample /edit requests
+    enqueue here; a worker thread waits `window_ms` for company, packs up
+    to serve_batch rows into ONE `_edit_batch` launch, and hands each
+    requester its own row back. Latency cost: at most window_ms; program
+    count: up to serve_batch-fold fewer.
+    """
+
+    def __init__(self, service: "EditService", window_ms: float = 8.0):
+        self.svc = service
+        self.window_s = window_ms / 1000.0
+        self._lock = threading.Lock()
+        self._cond = threading.Condition(self._lock)
+        self._pending: list[dict] = []
+        self._worker = threading.Thread(target=self._loop, daemon=True)
+        self._worker.start()
+
+    def edit_one(self, z_row: np.ndarray, alpha: float):
+        box = {"z": z_row, "alpha": alpha, "done": threading.Event()}
+        with self._lock:
+            self._pending.append(box)
+            self._cond.notify()
+        if not box["done"].wait(timeout=300):
+            raise RuntimeError("micro-batch worker timed out")
+        if "err" in box:
+            raise box["err"]
+        return box["img"], box["alpha_org"]
+
+    def _loop(self):
+        import time as _time
+
+        while True:
+            with self._lock:
+                while not self._pending:
+                    self._cond.wait()
+            _time.sleep(self.window_s)  # accumulation window, outside the lock
+            with self._lock:
+                batch = self._pending[: self.svc.batch]
+                del self._pending[: len(batch)]
+            if not batch:
+                continue
+            try:
+                z = np.stack([b["z"] for b in batch]).astype(np.float32)
+                a = np.asarray([b["alpha"] for b in batch], np.float32)
+                imgs, alpha_org = self.svc._edit_batch(z, a)
+                for i, b in enumerate(batch):
+                    b["img"], b["alpha_org"] = imgs[i], alpha_org[i]
+            except Exception as e:  # noqa: BLE001 — propagate to each waiter
+                for b in batch:
+                    b["err"] = e
+            finally:
+                for b in batch:
+                    b["done"].set()
+
+
 class EditService:
     """Warm, fixed-width edit/sweep programs over one Editor."""
 
@@ -69,6 +128,11 @@ class EditService:
         self.mesh = mesh
         self.dim_z = editor.cfg.dim_z
         self._dev_lock = threading.Lock()  # one device queue
+        self.device_calls = 0  # observability: program launches
+        self.batcher: MicroBatcher | None = None
+
+    def enable_batching(self, window_ms: float = 8.0) -> None:
+        self.batcher = MicroBatcher(self, window_ms=window_ms)
 
     # -- padding ------------------------------------------------------------
     def _pad(self, z: np.ndarray) -> tuple[np.ndarray, int]:
@@ -109,6 +173,22 @@ class EditService:
         self.edit({"z": z.tolist(), "alpha": 0.5})
         self.sweep({"z": z.tolist()})
 
+    def _edit_batch(self, z: np.ndarray, a: np.ndarray, index=None):
+        """Raw fixed-width edit: z [n,D], a [n] -> (uint8 imgs [n,...],
+        alpha_org [n,...]). The single device-program path every edit route
+        (direct or micro-batched) funnels through."""
+        zp, n = self._pad(z)
+        ap = np.concatenate(
+            [a, np.repeat(a[-1:], zp.shape[0] - n, axis=0)]
+        )[:, None]
+        with self._dev_lock:
+            self.device_calls += 1
+            edited, alpha_org, _ = self.ed.apply_alpha(
+                self.walk, zp, ap, index=None if index is None else int(index)
+            )
+        return (imgmod.to_uint8(np.asarray(edited)[:n]),
+                np.asarray(alpha_org)[:n])
+
     def edit(self, req: dict) -> dict:
         z = self._zs(req)
         alpha = req.get("alpha", 1.0)
@@ -117,19 +197,18 @@ class EditService:
             a = np.repeat(a, z.shape[0])
         if a.shape[0] != z.shape[0]:
             raise ValueError("alpha length must be 1 or match the z batch")
-        zp, n = self._pad(z)
-        ap = np.concatenate(
-            [a, np.repeat(a[-1:], zp.shape[0] - n, axis=0)]
-        )[:, None]
         index = req.get("index")
-        with self._dev_lock:
-            edited, alpha_org, _ = self.ed.apply_alpha(
-                self.walk, zp, ap, index=None if index is None else int(index)
-            )
-        imgs = imgmod.to_uint8(np.asarray(edited)[:n])
+        if self.batcher is not None and z.shape[0] == 1 and index is None:
+            # single-sample request: coalesce with concurrent ones into one
+            # fixed-width program launch (the chip fills lanes either way —
+            # padding rows are pure waste, other users' rows are free)
+            img, alpha_org = self.batcher.edit_one(z[0], float(a[0]))
+            return {"images": [_png_b64(img)],
+                    "alpha_org": [alpha_org.tolist()]}
+        imgs, alpha_org = self._edit_batch(z, a, index)
         return {
             "images": [_png_b64(im) for im in imgs],
-            "alpha_org": np.asarray(alpha_org)[:n].tolist(),
+            "alpha_org": alpha_org.tolist(),
         }
 
     def sweep(self, req: dict) -> dict:
@@ -176,6 +255,8 @@ def make_server(service: EditService, host: str, port: int):
                     "serve_batch": service.batch,
                     "attr_list": list(service.ed.cfg.attr_list),
                     "size": service.ed.cfg.size,
+                    "device_calls": service.device_calls,
+                    "micro_batching": service.batcher is not None,
                 })
             else:
                 self._reply(404, {"error": "unknown path"})
@@ -247,10 +328,16 @@ def main():
     vo.parser.add_argument("--serve_batch", type=int, default=4,
                            help="fixed request-program width; requests pad "
                                 "up and slice back so nothing recompiles")
+    vo.parser.add_argument("--batch_window_ms", type=float, default=8.0,
+                           help="micro-batching window: concurrent "
+                                "single-sample /edit requests coalesce into "
+                                "one program launch (0 disables)")
     opt, conf = vo.parse()
     service = build_service(opt, conf)
     print("warming the edit/sweep programs ...", flush=True)
     service.warmup()
+    if opt.batch_window_ms > 0:
+        service.enable_batching(opt.batch_window_ms)
     srv = make_server(service, opt.host, opt.port)
     print(f"serving on http://{opt.host}:{opt.port} "
           f"(batch {service.batch}, {service.ed.cfg.size}px)", flush=True)

@@ -97,6 +97,47 @@ def test_sweep_roundtrip(server):
     assert len(out["alphas"]) == 3
 
 
+def test_micro_batching_coalesces_concurrent_edits(server):
+    """K concurrent single-sample /edit requests must coalesce into fewer
+    program launches than requests (ideally ceil(K / serve_batch))."""
+    url, service = server
+    service.enable_batching(window_ms=60.0)  # wide window: test determinism
+    try:
+        calls_before = service.device_calls
+        results = [None] * 4
+        errs = []
+
+        def one(i):
+            try:
+                z = np.random.RandomState(100 + i).randn(
+                    1, service.dim_z
+                ).tolist()
+                results[i] = _post(url, "/edit", {"z": z, "alpha": 0.5})
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        ts = [threading.Thread(target=one, args=(i,)) for i in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+        assert not errs
+        for code, out in results:
+            assert code == 200, out
+            assert len(out["images"]) == 1
+            assert _decode(out["images"][0]).shape == (32, 32, 3)
+        launches = service.device_calls - calls_before
+        # 4 single requests on a serve_batch=2 service: perfect packing = 2
+        # launches; the hard guarantee is strictly fewer than 4
+        assert launches < 4, f"no coalescing: {launches} launches"
+        # distinct z rows must get distinct images (no row mix-up)
+        imgs = [np.asarray(_decode(out["images"][0]), int)
+                for _, out in results]
+        assert any(np.abs(imgs[0] - im).max() > 0 for im in imgs[1:])
+    finally:
+        service.batcher = None  # later tests use the direct path
+
+
 def test_oversized_batch_is_400(server):
     url, service = server
     z = np.zeros((5, service.dim_z)).tolist()
