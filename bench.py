@@ -163,20 +163,41 @@ def _await_backend() -> None:
     """The axon remote has gone UNAVAILABLE for hours after killed 1024px
     runs (backend init itself fails after ~25 min; docs/NEXT.md ops note).
     If the unattended driver bench lands mid-outage, one long retry is a
-    better outcome than an immediate crash. L2I_BENCH_RETRIES=0 disables."""
-    import os
+    better outcome than an immediate crash. L2I_BENCH_RETRIES=0 disables.
 
+    The probe runs in a SUBPROCESS: jax caches backend init per process, so
+    after one in-process failure a retry would either no-op or silently
+    return the CPU fallback registry — and a 1024px 'TPU' bench quietly
+    measured on CPU is worse than a crash. The subprocess also checks the
+    default platform is not cpu (L2I_BENCH_ALLOW_CPU=1 overrides, for
+    deliberate CPU smoke runs); only after a clean probe does THIS process
+    initialize its own (fresh) backend."""
+    import os
+    import subprocess
+
+    if os.environ.get("L2I_BENCH_ALLOW_CPU") == "1":
+        return
     retries = int(os.environ.get("L2I_BENCH_RETRIES", "1"))
+    probe = ("import jax, sys; d = jax.devices(); "
+             "sys.exit(0 if d[0].platform != 'cpu' else 3)")
     for attempt in range(retries + 1):
         try:
-            jax.devices()
+            rc = subprocess.run(
+                [sys.executable, "-c", probe], timeout=2400
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
             return
-        except RuntimeError as e:
-            if attempt == retries:
-                raise
-            print(f"backend unavailable ({e}); retrying in 120s",
-                  file=sys.stderr, flush=True)
-            time.sleep(120)
+        msg = ("default backend is CPU" if rc == 3
+               else f"backend probe failed (rc={rc})")
+        if attempt == retries:
+            raise RuntimeError(
+                f"{msg} after {retries + 1} probes; not benching "
+                "(set L2I_BENCH_ALLOW_CPU=1 for a deliberate CPU run)"
+            )
+        print(f"{msg}; retrying in 120s", file=sys.stderr, flush=True)
+        time.sleep(120)
 
 
 def main():

@@ -22,32 +22,15 @@ import numpy as np
 
 from ..config.options import VisOptions
 from ..engine import evaluation as ev
-from ..engine.build import build_editor_from_options
+from ..engine.build import load_editor_for_inference
 from ..engine.train import sample_epoch_z
-from ..io import checkpoint as ckpt
 from ..utils import image as imgmod
 
 BATCH = 8  # sweep folds P panels into the batch; 8 z x 6 panels fills 2x24-wide programs
 
 
 def run(opt, conf):
-    for field in ("attrList", "attrPath"):
-        v = getattr(opt, field, None)
-        if v:
-            setattr(conf, field, v)
-    conf.overwrite_config = True
-
-    editor, walk_params, info = build_editor_from_options(conf)
-    if opt.save_path_w:
-        walk_params, _, _ = ckpt.load_walk(opt.save_path_w, walk_params,
-                                           attr_list=info["attr_list"])
-        print(f"Load w in {opt.save_path_w}")
-    if getattr(opt, "save_path_gan", None):
-        g_new, d_new = ckpt.load_gan_checkpoint(opt.save_path_gan)
-        editor.g_params = g_new
-        if d_new is not None:
-            editor.d_params = d_new
-        print(f"Load GAN in {opt.save_path_gan}")
+    editor, walk_params, info = load_editor_for_inference(opt, conf)
 
     ref_parity = bool(getattr(opt, "ref_parity", False))
     facenet_path = getattr(opt, "facenet_path", "")

@@ -41,8 +41,7 @@ import threading
 import numpy as np
 
 from ..config.options import VisOptions
-from ..engine.build import build_editor_from_options
-from ..io import checkpoint as ckpt
+from ..engine.build import load_editor_for_inference
 from ..utils import image as imgmod
 
 
@@ -76,6 +75,11 @@ class MicroBatcher:
         self._worker.start()
 
     def edit_one(self, z_row: np.ndarray, alpha: float):
+        if not self._worker.is_alive():
+            raise RuntimeError(
+                "micro-batch worker died; restart the server or disable "
+                "--batch_window_ms"
+            )
         box = {"z": z_row, "alpha": alpha, "done": threading.Event()}
         with self._lock:
             self._pending.append(box)
@@ -84,6 +88,8 @@ class MicroBatcher:
             raise RuntimeError("micro-batch worker timed out")
         if "err" in box:
             raise box["err"]
+        if "img" not in box:  # worker died mid-batch on a BaseException
+            raise RuntimeError("micro-batch worker aborted")
         return box["img"], box["alpha_org"]
 
     def _loop(self):
@@ -93,21 +99,35 @@ class MicroBatcher:
             with self._lock:
                 while not self._pending:
                     self._cond.wait()
-            _time.sleep(self.window_s)  # accumulation window, outside the lock
-            with self._lock:
+                # accumulation window: wait for company, but launch EARLY
+                # the moment a full program width is queued — under load the
+                # window must not cap throughput at batch/(window + launch)
+                deadline = _time.monotonic() + self.window_s
+                while len(self._pending) < self.svc.batch:
+                    remaining = deadline - _time.monotonic()
+                    if remaining <= 0:
+                        break
+                    self._cond.wait(timeout=remaining)
                 batch = self._pending[: self.svc.batch]
                 del self._pending[: len(batch)]
-            if not batch:
-                continue
             try:
                 z = np.stack([b["z"] for b in batch]).astype(np.float32)
                 a = np.asarray([b["alpha"] for b in batch], np.float32)
                 imgs, alpha_org = self.svc._edit_batch(z, a)
                 for i, b in enumerate(batch):
                     b["img"], b["alpha_org"] = imgs[i], alpha_org[i]
-            except Exception as e:  # noqa: BLE001 — propagate to each waiter
+            except BaseException as e:  # noqa: BLE001 — waiters must never
+                # block 300s because the worker died mid-batch; give every
+                # box the error, then re-raise non-Exception signals
+                err = e if isinstance(e, Exception) else RuntimeError(
+                    f"micro-batch worker aborted: {type(e).__name__}: {e}"
+                )
                 for b in batch:
-                    b["err"] = e
+                    b["err"] = err
+                if not isinstance(e, Exception):
+                    for b in batch:
+                        b["done"].set()
+                    raise
             finally:
                 for b in batch:
                     b["done"].set()
@@ -160,9 +180,21 @@ class EditService:
                 raise ValueError(
                     f"z must have dim {self.dim_z}, got {z.shape[-1]}"
                 )
+            if not 1 <= z.shape[0] <= self.batch:
+                raise ValueError(
+                    f"request batch must be 1..{self.batch} (serve_batch), "
+                    f"got {z.shape[0]}"
+                )
             return z
         seed = int(req.get("seed", 0))
         n = int(req.get("num_samples", 1))
+        # validate BEFORE allocating: a huge num_samples would try to build
+        # the host array first, and n=0 would slip an (unwarmed) zero-width
+        # program past _pad's fixed-width padding
+        if not 1 <= n <= self.batch:
+            raise ValueError(
+                f"num_samples must be 1..{self.batch} (serve_batch), got {n}"
+            )
         return np.random.RandomState(seed).randn(n, self.dim_z).astype(
             np.float32
         )
@@ -213,9 +245,20 @@ class EditService:
 
     def sweep(self, req: dict) -> dict:
         z = self._zs(req)
-        # a num_panels different from the warmed default is allowed but is a
-        # different program shape — it costs one compile on first use
+        # a num_panels different from the warmed default is a DIFFERENT
+        # program shape: it compiles under the device lock (20-120s at
+        # 1024px) and the executable is cached forever. A client must opt
+        # in explicitly; otherwise the "no request ever recompiles"
+        # invariant holds and the panel-count program space stays bounded.
         p = int(req.get("num_panels", self.num_panels))
+        if p != self.num_panels and not bool(req.get("allow_compile")):
+            raise ValueError(
+                f"num_panels={p} differs from the warmed {self.num_panels}; "
+                "a new panel count compiles a new device program — pass "
+                '"allow_compile": true to accept the one-time cost'
+            )
+        if not 1 <= p <= 64:
+            raise ValueError(f"num_panels must be 1..64, got {p}")
         lo = float(req.get("min_alpha", self.min_alpha))
         hi = float(req.get("max_alpha", self.max_alpha))
         zp, n = self._pad(z)
@@ -224,6 +267,7 @@ class EditService:
             [self.task.scale_test_alpha(a_, zp.shape[0]) for a_ in alphas]
         ).astype(np.float32)
         with self._dev_lock:
+            self.device_calls += 1
             imgs, alpha_org, _ = self.ed.sweep(self.walk, zp, panels)
         imgs = imgmod.to_uint8(np.asarray(imgs)[:, :n])  # [P, n, H, W, 3]
         return {
@@ -283,22 +327,7 @@ def make_server(service: EditService, host: str, port: int):
 
 
 def build_service(opt, conf) -> EditService:
-    for field in ("attrList", "attrPath"):
-        v = getattr(opt, field, None)
-        if v:
-            setattr(conf, field, v)
-    conf.overwrite_config = True
-    editor, walk_params, info = build_editor_from_options(conf)
-    if opt.save_path_w:
-        walk_params, _, meta = ckpt.load_walk(opt.save_path_w, walk_params,
-                                              attr_list=info["attr_list"])
-        print(f"Load w in {opt.save_path_w} "
-              f"({(meta or {}).get('source', 'native')})")
-    if getattr(opt, "save_path_gan", None):
-        g_new, d_new = ckpt.load_gan_checkpoint(opt.save_path_gan)
-        editor.g_params = g_new
-        if d_new is not None:
-            editor.d_params = d_new
+    editor, walk_params, info = load_editor_for_inference(opt, conf)
 
     from ..parallel.spatial import setup_inference_mesh
     from ..tasks.transforms import get_task, task_kwargs_from_options

@@ -18,9 +18,8 @@ import os
 import numpy as np
 
 from ..config.options import VisOptions
-from ..engine.build import build_editor_from_options
+from ..engine.build import load_editor_for_inference
 from ..engine.train import sample_epoch_z
-from ..io import checkpoint as ckpt
 from ..utils import html as htmlmod
 from ..utils import image as imgmod
 
@@ -28,30 +27,12 @@ BATCH = 8  # sweep folds P panels into the batch; 8 z x 6 panels fills 2x24-wide
 
 
 def run(opt, conf):
-    for field in ("attrList", "attrPath"):
-        v = getattr(opt, field, None)
-        if v:
-            setattr(conf, field, v)
-    conf.overwrite_config = True
-
     output_dir = opt.output_dir or os.path.join(
         getattr(conf, "output_dir", "."), "vis"
     )
     os.makedirs(output_dir, exist_ok=True)
 
-    editor, walk_params, info = build_editor_from_options(conf)
-    if opt.save_path_w:
-        walk_params, _, meta = ckpt.load_walk(opt.save_path_w, walk_params,
-                                              attr_list=info["attr_list"])
-        print(f"Load w in {opt.save_path_w} ({(meta or {}).get('source', 'native')})")
-    if getattr(opt, "save_path_gan", None):
-        # fine-tuned GAN from an --updateGAN run (reference vis_w.py loads it
-        # via load_multi_models when updateGAN)
-        g_new, d_new = ckpt.load_gan_checkpoint(opt.save_path_gan)
-        editor.g_params = g_new
-        if d_new is not None:
-            editor.d_params = d_new
-        print(f"Load GAN in {opt.save_path_gan}")
+    editor, walk_params, info = load_editor_for_inference(opt, conf)
 
     from ..tasks.transforms import get_task
 

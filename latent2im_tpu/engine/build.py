@@ -224,3 +224,32 @@ def build_editor_from_options(opt, seed: int = 0):
             "vgg": bool(vgg_path),
         },
     }
+
+
+def load_editor_for_inference(opt, conf):
+    """Shared inference-CLI loader (vis_w / eval / serve): apply the
+    attrList/attrPath CLI overrides, build the editor, and load the optional
+    walk (--save_path_w) and fine-tuned-GAN (--save_path_gan, from an
+    --updateGAN run — the reference loads it via load_multi_models)
+    checkpoints. Returns (editor, walk_params, info)."""
+    from ..io import checkpoint as ckpt
+
+    for field in ("attrList", "attrPath"):
+        v = getattr(opt, field, None)
+        if v:
+            setattr(conf, field, v)
+    conf.overwrite_config = True
+
+    editor, walk_params, info = build_editor_from_options(conf)
+    if getattr(opt, "save_path_w", None):
+        walk_params, _, meta = ckpt.load_walk(opt.save_path_w, walk_params,
+                                              attr_list=info["attr_list"])
+        print(f"Load w in {opt.save_path_w} "
+              f"({(meta or {}).get('source', 'native')})")
+    if getattr(opt, "save_path_gan", None):
+        g_new, d_new = ckpt.load_gan_checkpoint(opt.save_path_gan)
+        editor.g_params = g_new
+        if d_new is not None:
+            editor.d_params = d_new
+        print(f"Load GAN in {opt.save_path_gan}")
+    return editor, walk_params, info

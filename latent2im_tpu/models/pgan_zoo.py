@@ -210,7 +210,8 @@ def generator_forward(params: Params, z, alpha: float = 0.0, dtype=jnp.float32):
 
     # shared spatial-partitioning hook (parallel/spatial.py; identity when
     # inactive): rows shard over 'spatial', rgb re-constrains to batch-only
-    from .stylegan2 import _spatial_boundary, _spatial_constrain
+    from .hooks import spatial_boundary as _spatial_boundary, \
+        spatial_constrain as _spatial_constrain
 
     prev_rgb = None
     n = len(params["scales"])

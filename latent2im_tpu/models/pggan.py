@@ -204,7 +204,8 @@ def generator_forward(params: Params, z, step: int = 6, alpha: float = 0.0,
     # installs it; identity when inactive): activation rows shard over the
     # 'spatial' mesh axis, and the rgb output re-constrains to batch-only
     # sharding so consumer towers never inherit an over-sharded H
-    from .stylegan2 import _spatial_boundary, _spatial_constrain
+    from .hooks import spatial_boundary as _spatial_boundary, \
+        spatial_constrain as _spatial_constrain
 
     upsample = None
     for i in range(step + 1):

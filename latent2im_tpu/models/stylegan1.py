@@ -248,7 +248,8 @@ def styled_generator_forward(
 
     # shared spatial-partitioning hook (parallel/spatial.py; identity when
     # inactive)
-    from .stylegan2 import _spatial_boundary, _spatial_constrain
+    from .hooks import spatial_boundary as _spatial_boundary, \
+        spatial_constrain as _spatial_constrain
 
     out = None
     out_prev = None

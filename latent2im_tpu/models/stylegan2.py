@@ -254,30 +254,19 @@ FAST_CHAIN = False
 # spatial partitioning (sp) hook
 # ---------------------------------------------------------------------------
 #
-# parallel/spatial.py installs a callable here that applies an H-axis
-# jax.lax.with_sharding_constraint to synthesis activations once they are
-# tall enough to split over the mesh's 'spatial' axis. GSPMD then partitions
-# every conv spatially, inserting the 3x3 halo exchanges (collective-permute
-# over ICI) itself — the TPU-native route to multi-chip speedup at the B=1..2
-# batch sizes vis/eval use, where data parallelism has nothing to shard.
-# None -> single-chip behavior, zero overhead (the hook is an identity).
-_SPATIAL_HINT = None
-_SPATIAL_BOUNDARY = None  # applied to the final rgb (see spatial.py)
-_SPATIAL_TOKEN = 0  # bumped on every install; jit caches key on it
-
-
-def spatial_token() -> int:
-    """Cache-key component for jitted paths that trace through synthesize:
-    a program traced under one hint must not be reused under another."""
-    return _SPATIAL_TOKEN
-
-
-def _spatial_constrain(x):
-    return _SPATIAL_HINT(x) if _SPATIAL_HINT is not None else x
-
-
-def _spatial_boundary(x):
-    return _SPATIAL_BOUNDARY(x) if _SPATIAL_BOUNDARY is not None else x
+# parallel/spatial.py installs a callable (models/hooks.py — shared by every
+# generator family) that applies an H-axis jax.lax.with_sharding_constraint
+# to synthesis activations once they are tall enough to split over the
+# mesh's 'spatial' axis. GSPMD then partitions every conv spatially,
+# inserting the 3x3 halo exchanges (collective-permute over ICI) itself —
+# the TPU-native route to multi-chip speedup at the B=1..2 batch sizes
+# vis/eval use, where data parallelism has nothing to shard. When no hint
+# is installed both hooks are identity (zero overhead).
+from .hooks import (  # noqa: F401 — re-exported; editor keys caches on it
+    spatial_boundary as _spatial_boundary,
+    spatial_constrain as _spatial_constrain,
+    spatial_token,
+)
 
 
 def _space_to_depth(x):

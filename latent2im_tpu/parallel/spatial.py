@@ -31,7 +31,7 @@ from __future__ import annotations
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models import stylegan2 as sg2
+from ..models import hooks as _hooks
 
 
 def make_mesh_spatial(n_spatial: int | None = None, n_data: int = 1,
@@ -62,7 +62,7 @@ class spatial_partitioning:
     Every jit trace of ``stylegan2.synthesize`` entered under this context
     constrains block activations to ``P(batch_axis, axis, None, None)`` once
     H divides the axis and clears min_rows_per_device. Jitted paths key their
-    caches on ``stylegan2.spatial_token()`` (Editor._jit does), so programs
+    caches on ``models.hooks.spatial_token()`` (Editor._jit does), so programs
     traced under different hints never mix.
 
     A class, not a @contextmanager generator, so one instance is REUSABLE
@@ -108,16 +108,12 @@ class spatial_partitioning:
         # Editor._jit additionally salts its cache names with
         # spatial_token() so its own compiled handles never mix. The token
         # only ever increments (never restores) so no two installs alias.
-        self._stack.append((sg2._SPATIAL_HINT, sg2._SPATIAL_BOUNDARY))
         jax.clear_caches()
-        sg2._SPATIAL_HINT = self._hint
-        sg2._SPATIAL_BOUNDARY = self._boundary
-        sg2._SPATIAL_TOKEN += 1
+        self._stack.append(_hooks.install(self._hint, self._boundary))
         return self
 
     def __exit__(self, *exc):
-        sg2._SPATIAL_HINT, sg2._SPATIAL_BOUNDARY = self._stack.pop()
-        sg2._SPATIAL_TOKEN += 1
+        _hooks.restore(self._stack.pop())
         jax.clear_caches()
         return False
 

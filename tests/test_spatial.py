@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from latent2im_tpu.engine.editor import Editor, EditorConfig
 from latent2im_tpu.models import resnet as rn
+from latent2im_tpu.models import hooks as sph
 from latent2im_tpu.models import stylegan2 as sg2
 from latent2im_tpu.parallel import spatial as sp
 from latent2im_tpu.parallel import mesh as meshlib
@@ -88,21 +89,21 @@ def test_spatial_hint_actually_partitions():
 
 def test_hint_restored_and_token_bumped():
     mesh = sp.make_mesh_spatial(n_spatial=4, n_data=2)
-    t0 = sg2.spatial_token()
+    t0 = sph.spatial_token()
     ctx = sp.spatial_partitioning(mesh)
     with ctx:
-        t_in = sg2.spatial_token()
+        t_in = sph.spatial_token()
         assert t_in != t0
-        assert sg2._SPATIAL_HINT is not None
+        assert sph._HINT is not None
     # the hint restores; the token only ever increments so no two installs
     # can alias a jit-cache key
-    assert sg2.spatial_token() not in (t0, t_in)
-    assert sg2._SPATIAL_HINT is None
+    assert sph.spatial_token() not in (t0, t_in)
+    assert sph._HINT is None
     # the context object is REUSABLE (spatial_editor hands it to callers who
     # may open it once per batch loop) — a second with-block must work
     with ctx:
-        assert sg2._SPATIAL_HINT is not None
-    assert sg2._SPATIAL_HINT is None
+        assert sph._HINT is not None
+    assert sph._HINT is None
 
 
 def test_make_mesh_spatial_validates_device_count():
@@ -240,7 +241,7 @@ def test_train_cli_sp_devices(tmp_path):
         os.path.join(opt.output_dir, "model_w_1_final_walk_module.ckpt")
     )
     # the context must have been exited cleanly
-    assert sg2._SPATIAL_HINT is None
+    assert sph._HINT is None
 
 
 def test_serve_service_under_sp():
@@ -265,7 +266,7 @@ def test_serve_service_under_sp():
         assert len(out["panels"]) == 3 and len(out["panels"][0]) == 2
     finally:
         ctx.__exit__(None, None, None)
-    assert sg2._SPATIAL_HINT is None
+    assert sph._HINT is None
 
 
 def test_eval_report_sp_equals_single(tmp_path):
