@@ -78,11 +78,15 @@ def _build_train_parser() -> argparse.ArgumentParser:
                         help="geometric transforms: compute warp targets on "
                              "the host with cv2 (the reference's path) "
                              "instead of in-graph (tasks/warp.py)")
-    parser.add_argument("--remat_g", action="store_true",
+    parser.add_argument("--remat_g", nargs="?", const="all", default=False,
+                        choices=["all", "block"],
                         help="rematerialize the edited-path G forward in the "
                              "train-step backward (jax.checkpoint): ~1 extra "
                              "G forward buys activation memory for larger "
-                             "batches")
+                             "batches. 'all' (the bare-flag default) wraps "
+                             "the whole forward; 'block' checkpoints each "
+                             "synthesis block separately — same recompute, "
+                             "lower peak backward memory")
     parser.add_argument("--n_epochs", type=int, default=None,
                         help="override epoch count (default 10 single / 3 multi)")
     parser.add_argument("--batch_size", type=int, default=4)

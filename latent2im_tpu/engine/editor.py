@@ -72,10 +72,12 @@ class EditorConfig:
     reg_input_size: int | None = None
     compute_dtype: Any = jnp.float32
     kernel_impl: str | None = None  # None|'xla'|'pallas' for ops dispatch
-    # Rematerialize the edited-path G forward in the train step's backward
-    # (jax.checkpoint): trades one extra G forward for not storing its
-    # activations — unlocks larger training batches when HBM-bound.
-    remat_g: bool = False
+    # Rematerialize the edited-path G forward in the train step's backward:
+    # trades one extra G forward for not storing its activations — unlocks
+    # larger training batches when HBM-bound. True/'all' = one jax.checkpoint
+    # around the whole forward; 'block' = per-synthesis-block checkpoints
+    # (same recompute FLOPs, strictly lower peak backward memory).
+    remat_g: bool | str = False
 
     @property
     def n_latent(self) -> int:
@@ -156,7 +158,7 @@ class Editor:
         w = sg2.style_forward(self.g_params, z, impl=self.cfg.kernel_impl)
         return jnp.repeat(w[:, None, :], self.cfg.n_latent, axis=1)
 
-    def synthesize(self, latent, noise_key=None):
+    def synthesize(self, latent, noise_key=None, block_remat=False):
         """W+ [B, L, D] (latent='w') or z [B, D] (latent='z') -> image NHWC.
 
         noise_key: optional PRNG key for fresh per-layer noise injection (the
@@ -164,10 +166,18 @@ class Editor:
         281-286 and :476-483); None uses the fixed stored buffers
         (deterministic — the parity/vis mode). Backends without noise
         injection (PGGAN) ignore it.
+
+        block_remat: jax.checkpoint each synthesis block individually (exact
+        values/grads, lowest peak backward memory — see sg2.synthesize).
+        Injected synth_fn backends have no block structure to hook; they
+        degrade to one whole-forward jax.checkpoint.
         """
         cfg = self.cfg
         if self._synth_fn is not None:
-            return self._synth_fn(self.g_params, latent)
+            fn = self._synth_fn
+            if block_remat:
+                fn = jax.checkpoint(fn)
+            return fn(self.g_params, latent)
         noise = None
         if noise_key is not None:
             noise = sg2.make_noise(
@@ -176,11 +186,11 @@ class Editor:
         if cfg.latent == "w":
             return sg2.synthesize(
                 self.g_params, latent, noise=noise, impl=cfg.kernel_impl,
-                dtype=cfg.compute_dtype
+                dtype=cfg.compute_dtype, block_remat=block_remat
             )
         return sg2.generator_forward(
             self.g_params, latent, noise=noise, impl=cfg.kernel_impl,
-            dtype=cfg.compute_dtype
+            dtype=cfg.compute_dtype, block_remat=block_remat
         )
 
     def _reg_input(self, img):

@@ -112,7 +112,12 @@ def make_train_step(
             latent_new = ed.edit(walk_params, latent, delta)
         else:
             latent_new = ed.edit(walk_params, latent, sampled)
-        if cfg.remat_g:
+        if cfg.remat_g == "block":
+            # per-block checkpoints: same +1 recomputed forward as 'all',
+            # but only one block's residuals live at a time in the backward
+            img_new = ed.synthesize(latent_new, noise_key=nk2,
+                                    block_remat=True)
+        elif cfg.remat_g:
             # recompute the edited-path G forward during backward instead of
             # storing its activations (cfg.remat_g docstring)
             img_new = jax.checkpoint(

@@ -492,12 +492,21 @@ def synthesize(
     noise=None,
     impl=None,
     dtype=jnp.float32,
+    block_remat: bool = False,
 ):
     """Synthesis network: latent [B, n_latent, style_dim] -> image NHWC.
 
     noise: None -> use the fixed per-model noise buffers (randomize_noise=False
     semantics); or a list of [B|1, h, w, 1] arrays (injectable for parity
     tests, networks.py:476-483).
+
+    block_remat: jax.checkpoint each synthesis block (and the s2d fast-tail
+    chain) individually. Values and gradients are exact; during the backward
+    only ONE block's intra-block activations are live at a time (plus the
+    block-boundary x/skip saved as checkpoint inputs) instead of every
+    residual of the whole forward at once — a strictly lower peak than
+    wrapping the entire synthesize in one jax.checkpoint, for the same +1
+    recomputed forward. Train-step plumbing: --remat_g block.
     """
     if noise is None:
         noise = params["noises"]
@@ -506,6 +515,17 @@ def synthesize(
     x = jnp.tile(params["const"].astype(dtype), (latent.shape[0], 1, 1, 1))
     x = styled_conv(params["conv1"], x, latent[:, 0], noise[0], impl=impl)
     skip = to_rgb(params["to_rgb1"], x, latent[:, 1], impl=impl)
+
+    def _block(bp, x, skip, lat3, n_a, n_b):
+        conv_up, conv, trgb = bp
+        x = styled_conv(conv_up, x, lat3[:, 0], n_a, upsample=True, impl=impl)
+        x = _spatial_constrain(x)
+        x = styled_conv(conv, x, lat3[:, 1], n_b, impl=impl)
+        x = _spatial_constrain(x)
+        skip = to_rgb(trgb, x, lat3[:, 2], skip, impl=impl)
+        return x, skip
+
+    run_block = jax.checkpoint(_block) if block_remat else _block
 
     i = 1
     n_blocks = len(params["convs"]) // 2
@@ -532,20 +552,18 @@ def synthesize(
                  params["to_rgbs"][j // 2])
                 for j in range(idx, len(params["convs"]), 2)
             ]
-            skip = fast.chain_blocks_s2d(
-                blocks, x, skip, latent[:, i:], noise[idx + 1:], impl=impl
-            )
+
+            def _chain(blocks, x, skip, lats, ns):
+                return fast.chain_blocks_s2d(blocks, x, skip, lats, ns,
+                                             impl=impl)
+
+            run_chain = jax.checkpoint(_chain) if block_remat else _chain
+            skip = run_chain(blocks, x, skip, latent[:, i:], noise[idx + 1:])
             break
-        x = styled_conv(
-            params["convs"][idx], x, latent[:, i], noise[idx + 1], upsample=True, impl=impl
-        )
-        x = _spatial_constrain(x)
-        x = styled_conv(
-            params["convs"][idx + 1], x, latent[:, i + 1], noise[idx + 2], impl=impl
-        )
-        x = _spatial_constrain(x)
-        skip = to_rgb(
-            params["to_rgbs"][idx // 2], x, latent[:, i + 2], skip, impl=impl
+        x, skip = run_block(
+            (params["convs"][idx], params["convs"][idx + 1],
+             params["to_rgbs"][idx // 2]),
+            x, skip, latent[:, i:i + 3], noise[idx + 1], noise[idx + 2],
         )
         i += 2
     # Spatial partitioning stops at the generator boundary: the rgb output
@@ -568,6 +586,7 @@ def generator_forward(
     size: int | None = None,
     impl=None,
     dtype=jnp.float32,
+    block_remat: bool = False,
 ):
     """Full G forward (networks.py:460-514). styles: [B, style_dim] z (mapped
     through the style MLP and broadcast over all layers) or [B, n_latent,
@@ -583,7 +602,8 @@ def generator_forward(
     if noise is None and key is not None:
         sz = size or 4 * 2 ** len(params["to_rgbs"])
         noise = make_noise(params, key, latent.shape[0], sz)
-    return synthesize(params, latent, noise=noise, impl=impl, dtype=dtype)
+    return synthesize(params, latent, noise=noise, impl=impl, dtype=dtype,
+                      block_remat=block_remat)
 
 
 # ---------------------------------------------------------------------------

@@ -284,7 +284,7 @@ def test_remat_g_step_matches_plain_step(editor):
     key = jax.random.PRNGKey(4)
 
     results = {}
-    for remat in (False, True):
+    for remat in (False, True, "block"):
         ed = Editor(dataclasses.replace(editor.cfg, remat_g=remat),
                     editor.g_params, reg_params=editor.reg_params,
                     vgg_params=editor.vgg_params, d_params=editor.d_params)
@@ -295,9 +295,11 @@ def test_remat_g_step_matches_plain_step(editor):
     from helpers import assert_close
 
     # strict on CPU; TPU's bf16x3 matmul recompute may reorder rounding
-    assert_close(np.asarray([results[False][0]]),
-                 np.asarray([results[True][0]]), rtol=1e-5, atol=1e-7)
-    assert_close(results[False][1], results[True][1], rtol=1e-4, atol=1e-7)
+    for remat in (True, "block"):
+        assert_close(np.asarray([results[False][0]]),
+                     np.asarray([results[remat][0]]), rtol=1e-5, atol=1e-7)
+        assert_close(results[False][1], results[remat][1],
+                     rtol=1e-4, atol=1e-7)
 
 
 def test_train_loop_dsprites_subset_host_alpha_fallback():

@@ -107,3 +107,13 @@ def test_parse_layers():
     assert parse_layers("") is None
     assert parse_layers("0,1,5") == (0, 1, 5)
     assert parse_layers((2, 3)) == (2, 3)
+
+
+def test_remat_g_flag_forms(tmp_path):
+    """--remat_g is tri-state: absent -> False, bare flag -> 'all' (the
+    pre-'block' boolean behavior, kept truthy for old scripts/yml), and an
+    explicit mode selects the checkpoint granularity."""
+    assert _parse([], tmp_path, print_opt=False).remat_g is False
+    assert _parse(["--remat_g"], tmp_path, print_opt=False).remat_g == "all"
+    assert _parse(["--remat_g", "block"], tmp_path,
+                  print_opt=False).remat_g == "block"
