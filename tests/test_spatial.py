@@ -351,7 +351,7 @@ def test_train_step_spatial_matches_single_device():
     opt = optax.sgd(1e-3)
     z = sample_epoch_z(8, 32, seed=0)
 
-    def run(mesh, ctx):
+    def run(mesh, ctx, editor=ed):
         walk = init_walk(jax.random.PRNGKey(7), "linear_w", 32,
                          cfg.n_latent, ["Smiling"])
         state = opt.init(walk)
@@ -359,7 +359,7 @@ def test_train_step_spatial_matches_single_device():
             walk = meshlib.replicate(mesh, walk)
             state = meshlib.replicate(mesh, state)
         with ctx:
-            step = make_train_step(ed, task, opt, mesh=mesh)
+            step = make_train_step(editor, task, opt, mesh=mesh)
             losses = []
             for i in range(2):
                 zb = (meshlib.shard_batch(mesh, z) if mesh is not None
@@ -369,6 +369,7 @@ def test_train_step_spatial_matches_single_device():
         return np.asarray(jax.device_get(walk)["w"]), losses
 
     import contextlib
+    import dataclasses
 
     w_1, loss_1 = run(None, contextlib.nullcontext())
     mesh = sp.make_mesh_spatial(n_spatial=4, n_data=2)
@@ -376,6 +377,18 @@ def test_train_step_spatial_matches_single_device():
                                                     min_rows_per_device=2))
     np.testing.assert_allclose(loss_m, loss_1, rtol=2e-4)
     np.testing.assert_allclose(w_m, w_1, rtol=1e-4, atol=1e-6)
+
+    # per-block remat under the same dp x sp mesh: jax.checkpoint'ed blocks
+    # carry with_sharding_constraint hints INSIDE the rematted region, and
+    # their backward re-runs under GSPMD — must still match single-device
+    ed_block = Editor(dataclasses.replace(cfg, remat_g="block"), g,
+                      reg_params=ed.reg_params, vgg_params=ed.vgg_params,
+                      d_params=d)
+    w_b, loss_b = run(mesh, sp.spatial_partitioning(mesh,
+                                                    min_rows_per_device=2),
+                      editor=ed_block)
+    np.testing.assert_allclose(loss_b, loss_1, rtol=2e-4)
+    np.testing.assert_allclose(w_b, w_1, rtol=1e-4, atol=1e-6)
 
 
 def test_editor_sweep_spatial_equals_single_device():
