@@ -82,7 +82,7 @@ TRAIN_WARMUP = 2
 
 
 def bench_train(size=TRAIN_SIZE, batch=TRAIN_BATCH, remat=False,
-                iters=TRAIN_ITERS, warmup=TRAIN_WARMUP):
+                remat_towers=False, iters=TRAIN_ITERS, warmup=TRAIN_WARMUP):
     """Full-tower walk-training step throughput (two G fwds + R + VGG
     + D fwds, backward through the frozen graph into the walk, Adam).
 
@@ -106,6 +106,7 @@ def bench_train(size=TRAIN_SIZE, batch=TRAIN_BATCH, remat=False,
     cfg = EditorConfig(
         attr_list=("Smiling",), attr_idx=(31,), size=size,
         compute_dtype=jnp.bfloat16, remat_g=remat,
+        remat_towers=remat_towers,
     )
     ed = Editor(cfg, g, reg_params=reg, vgg_params=vgg, d_params=d)
     walk = init_walk(kw, "linear_w", 512, cfg.n_latent, ["Smiling"])
@@ -200,8 +201,8 @@ def _await_backend() -> None:
         time.sleep(120)
 
 
-def main():
-    _await_backend()
+def _build_edit_setup():
+    """1024px edit-pipeline towers: (editor, walk, frozen-on-device)."""
     from latent2im_tpu.engine.editor import Editor, EditorConfig
     from latent2im_tpu.models import resnet as rn
     from latent2im_tpu.models import stylegan2 as sg2
@@ -219,11 +220,18 @@ def main():
     )
     ed = Editor(cfg, g, reg_params=reg)
     walk = init_walk(kw, "linear_w", 512, cfg.n_latent, ["Smiling"])
-
     # Frozen towers travel as jit ARGUMENTS: closing over them embeds every
     # weight as an HLO constant, which made tracing alone take ~220s at
     # 1024px (and risks the compile tunnel's payload limit).
     frozen = jax.device_put(ed.frozen_params())
+    return ed, walk, frozen
+
+
+def main():
+    _await_backend()
+    import gc
+
+    ed, walk, frozen = _build_edit_setup()
 
     @jax.jit
     def edit_step(walk_params, z, alpha_target, fr):
@@ -237,48 +245,6 @@ def main():
         # it; the host-scalar sync happens once after the timed loop (an
         # in-graph per-iter checksum was 2.8 ms of pure reduction overhead)
         return edited
-
-    # vis/eval panel-sweep throughput at the batch sizes vis actually uses
-    # (B=1..2): the flattened-batch sweep (engine/editor.py:sweep) replaced
-    # the lax.map-at-width-B form that starved the chip (103 panel-img/s at
-    # B=1 in round 3 vs 276 syntheses/s on the edit pipeline). Runs BEFORE
-    # the B=32 edit bench: loaded 1024px executables keep HBM reserved, and
-    # the sweep OOMs if it follows the edit program in the same process.
-    # with_params(frozen) hands the sweep the ALREADY-on-device towers (a
-    # host-param closure would device-put a second copy).
-    sweep_rates = {}
-    sweep_chunks = {}
-    sweep_ed = ed.with_params(frozen)
-    for b in (1, 2, 8):
-        # B=2 (a width-20 program) has OOM'd when run right after B=1 with
-        # its width-10 executable still loaded; fall back to a narrower
-        # synthesis chunk rather than dying (the driver runs this
-        # unattended), and record the chunk actually used. B=8 is the
-        # production width (vis_w batches 8 z per sweep).
-        for chunk in (None, 10, 5):
-            try:
-                sweep_rates[b] = bench_sweep(sweep_ed, walk, b, chunk=chunk)
-                sweep_chunks[b] = chunk
-                break
-            except Exception as e:  # noqa: PERF203, BLE001 — OOM surfaces as
-                # JaxRuntimeError OR ValueError depending on the sync point
-                if "RESOURCE_EXHAUSTED" not in str(e):
-                    raise
-                if chunk == 5:
-                    # a sweep's [P,B,1024,1024,3] f32 OUTPUT stack is
-                    # chunk-independent (~1 GB at B=8): when that allocation
-                    # is what's short, no chunk narrowing helps — record the
-                    # miss and keep the bench alive (the driver runs this
-                    # unattended; the headline edit metric must still print)
-                    print(f"sweep B={b}: RESOURCE_EXHAUSTED at every chunk, "
-                          "skipping", file=sys.stderr)
-                    sweep_rates[b] = None
-                    break
-                # retry on a FRESH editor: with_params makes a new instance
-                # with an empty jit cache, dropping the just-OOM'd executable
-                # instead of piling a narrower program on top of it
-                sweep_ed = ed.with_params(frozen)
-    sweep_ed = None  # noqa: F841 — drop the sweep jit caches before B=32
 
     z = jax.random.normal(jax.random.PRNGKey(1), (BATCH, 512))
     alpha = jnp.full((BATCH, 1), 0.9, jnp.float32)
@@ -309,18 +275,12 @@ def main():
                            else 0))
     if edit_flops:
         rec["flops_per_img"] = round(edit_flops / BATCH / 1e9, 2)  # GFLOP
-    for b, rate in sweep_rates.items():
-        if rate is None:  # OOM'd at every chunk; see the stderr note
-            rec[f"sweep_b{b}_oom"] = True
-            continue
-        rec[f"sweep_panel_imgs_per_s_b{b}"] = round(rate, 2)
-        if sweep_chunks.get(b) is not None:
-            rec[f"sweep_b{b}_chunk"] = sweep_chunks[b]
 
     # free the B=32 buffers AND the edit towers for the trains — bench_train
     # builds its own full towers, and the 1024px remat config needs the
     # headroom the retained edit-path G+resnet copies would eat
     out = compiled = frozen = ed = walk = None  # noqa: F841
+    gc.collect()
     train_steps_s, train_samples_s, train_flops = bench_train()
     rec.update({
         "train_steps_per_s": round(train_steps_s, 3),
@@ -342,6 +302,47 @@ def main():
         "train1024_remat_g": True,
     })
     rec.update(_mfu_fields("train1024_", f1024, s1024))
+
+    # vis/eval panel-sweep throughput at the batch sizes vis actually uses:
+    # the flattened-batch sweep (engine/editor.py:sweep) replaced the
+    # lax.map-at-width-B form that starved the chip (103 panel-img/s at B=1
+    # in round 3). This section runs LAST and only ever launches width-10
+    # synthesis programs: a full-width sweep program (width 20 at B=2) OOMs,
+    # and the first RESOURCE_EXHAUSTED leaves the axon remote wedged for the
+    # REST OF THE PROCESS (even a 64-byte alloc fails afterwards) — measured
+    # 2026-08-18; two full bench runs died that way, taking the headline
+    # metric with them. Chunk 10 measured 154.6 / 159.0 / 182.7 panel-img/s
+    # at B=1/2/8 in this exact after-the-edit-bench position, so nothing is
+    # lost by never attempting wider programs. Fresh towers: the edit/train
+    # sections' device trees are dropped above.
+    sweep_ed_base, sweep_walk, sweep_frozen = _build_edit_setup()
+    sweep_ed = sweep_ed_base.with_params(sweep_frozen)
+    wedged = False
+    for b in (1, 2, 8):
+        if wedged:
+            rec[f"sweep_b{b}_skipped"] = True
+            continue
+        for chunk in (10, 5):
+            try:
+                rec[f"sweep_panel_imgs_per_s_b{b}"] = round(
+                    bench_sweep(sweep_ed, sweep_walk, b, chunk=chunk), 2
+                )
+                rec[f"sweep_b{b}_chunk"] = chunk
+                break
+            except Exception as e:  # noqa: PERF203, BLE001 — OOM surfaces as
+                # JaxRuntimeError OR ValueError depending on the sync point
+                if "RESOURCE_EXHAUSTED" not in str(e):
+                    raise
+                if chunk == 5:
+                    # post-OOM the backend is wedged (see above): record the
+                    # miss, skip the remaining batches, still print the JSON
+                    print(f"sweep B={b}: RESOURCE_EXHAUSTED; backend wedged, "
+                          "skipping remaining sweeps", file=sys.stderr)
+                    rec[f"sweep_b{b}_oom"] = True
+                    wedged = True
+                    break
+                sweep_ed = sweep_ed_base.with_params(sweep_frozen)
+
     print(json.dumps(rec))
 
 

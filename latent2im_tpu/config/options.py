@@ -87,6 +87,12 @@ def _build_train_parser() -> argparse.ArgumentParser:
                              "the whole forward; 'block' checkpoints each "
                              "synthesis block separately — same recompute, "
                              "lower peak backward memory")
+    parser.add_argument("--remat_towers", action="store_true",
+                        help="rematerialize the loss towers (R/VGG/D) in the "
+                             "backward: one tower's full-res activations "
+                             "live at a time instead of all three — the "
+                             "memory floor at 1024px; composes with "
+                             "--remat_g")
     parser.add_argument("--n_epochs", type=int, default=None,
                         help="override epoch count (default 10 single / 3 multi)")
     parser.add_argument("--batch_size", type=int, default=4)

@@ -203,6 +203,7 @@ def build_editor_from_options(opt, seed: int = 0):
         compute_dtype=jnp.bfloat16 if getattr(opt, "bf16", False) else jnp.float32,
         kernel_impl=getattr(opt, "kernel_impl", None),
         remat_g=getattr(opt, "remat_g", False),
+        remat_towers=getattr(opt, "remat_towers", False),
     )
     editor = Editor(cfg, g_params, reg_params=reg_params, vgg_params=vgg_params,
                     d_params=d_params, synth_fn=synth_fn, disc_fn=disc_fn)

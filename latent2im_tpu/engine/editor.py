@@ -78,6 +78,13 @@ class EditorConfig:
     # around the whole forward; 'block' = per-synthesis-block checkpoints
     # (same recompute FLOPs, strictly lower peak backward memory).
     remat_g: bool | str = False
+    # Rematerialize the loss towers (R regression of the edit, VGG content
+    # loss, D realism) in the backward: each tower's full-res activations are
+    # recomputed instead of stored, so the backward holds ONE tower's
+    # residuals at a time instead of all three + G's. At 1024px the towers,
+    # not G, are the memory floor (remat_g alone still fails to compile at
+    # B>=12 — BASELINE.md grid); composes with remat_g.
+    remat_towers: bool = False
 
     @property
     def n_latent(self) -> int:

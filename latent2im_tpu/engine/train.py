@@ -126,7 +126,17 @@ def make_train_step(
         else:
             img_new = ed.synthesize(latent_new, noise_key=nk2)
 
-        preds = ed.regress(img_new)
+        # cfg.remat_towers: checkpoint each loss tower so the backward
+        # recomputes its full-res activations instead of storing them —
+        # peak memory becomes max(one tower) instead of sum(all towers),
+        # the enabling config for 1024px batches beyond remat_g's ceiling.
+        # Values/grads are exact (tested). Only the EDITED paths matter:
+        # img_org has no walk dependence, so the first regress/VGG(org)
+        # branches carry no backward anyway.
+        def _ckpt(fn):
+            return jax.checkpoint(fn) if cfg.remat_towers else fn
+
+        preds = _ckpt(ed.regress)(img_new)
         # stylegan trainers feed the sampled target to the BCE
         # (train.py:101, transform_base.py:416-424); pggan feeds the clamped
         # target (train_multi_attr.py:133) — unified_alphas encodes both.
@@ -135,12 +145,16 @@ def make_train_step(
         if cfg.no_content_loss:
             content = 0.0
         else:
-            content = L.content_loss(ed.vgg_params, img_org, img_new,
-                                     dtype=cfg.compute_dtype)
+            content = _ckpt(
+                lambda org, new: L.content_loss(ed.vgg_params, org, new,
+                                                dtype=cfg.compute_dtype)
+            )(img_org, img_new)
         if cfg.no_gan_loss:
             gan = 0.0
         else:
-            gan = L.gan_loss_from_logits(ed.discriminate(img_new))
+            gan = _ckpt(
+                lambda new: L.gan_loss_from_logits(ed.discriminate(new))
+            )(img_new)
 
         total = L.combine(
             reg,

@@ -284,22 +284,28 @@ def test_remat_g_step_matches_plain_step(editor):
     key = jax.random.PRNGKey(4)
 
     results = {}
-    for remat in (False, True, "block"):
-        ed = Editor(dataclasses.replace(editor.cfg, remat_g=remat),
+    # (remat_g, remat_towers) grid: towers alone and composed with block
+    # remat — the 1024px production config is ("block", True)
+    for remat, towers in ((False, False), (True, False), ("block", False),
+                          (False, True), ("block", True)):
+        ed = Editor(dataclasses.replace(editor.cfg, remat_g=remat,
+                                        remat_towers=towers),
                     editor.g_params, reg_params=editor.reg_params,
                     vgg_params=editor.vgg_params, d_params=editor.d_params)
         step = make_train_step(ed, task, opt)
         w2, _, m = step(jax.tree_util.tree_map(jnp.copy, walk),
                         opt.init(walk), z, key)
-        results[remat] = (float(m["loss"]), np.asarray(w2["w"]))
+        results[(remat, towers)] = (float(m["loss"]), np.asarray(w2["w"]))
     from helpers import assert_close
 
     # strict on CPU; TPU's bf16x3 matmul recompute may reorder rounding
-    for remat in (True, "block"):
-        assert_close(np.asarray([results[False][0]]),
-                     np.asarray([results[remat][0]]), rtol=1e-5, atol=1e-7)
-        assert_close(results[False][1], results[remat][1],
-                     rtol=1e-4, atol=1e-7)
+    base = results[(False, False)]
+    for k, got in results.items():
+        if k == (False, False):
+            continue
+        assert_close(np.asarray([base[0]]), np.asarray([got[0]]),
+                     rtol=1e-5, atol=1e-7)
+        assert_close(base[1], got[1], rtol=1e-4, atol=1e-7)
 
 
 def test_train_loop_dsprites_subset_host_alpha_fallback():

@@ -117,3 +117,6 @@ def test_remat_g_flag_forms(tmp_path):
     assert _parse(["--remat_g"], tmp_path, print_opt=False).remat_g == "all"
     assert _parse(["--remat_g", "block"], tmp_path,
                   print_opt=False).remat_g == "block"
+    assert _parse([], tmp_path, print_opt=False).remat_towers is False
+    assert _parse(["--remat_towers"], tmp_path,
+                  print_opt=False).remat_towers is True
