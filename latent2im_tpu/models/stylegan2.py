@@ -675,9 +675,17 @@ def init_discriminator(
 
 
 def minibatch_stddev(x, group_size=4, feat=1):
-    """Minibatch stddev channel (networks.py:630-638), NHWC."""
+    """Minibatch stddev channel (networks.py:630-638), NHWC.
+
+    The reference's `view(group, -1, ...)` requires batch % group == 0 and
+    errors otherwise (so it can only ever run at divisible batches); here g
+    falls back to the largest divisor of b that is <= group_size, which is
+    bit-identical wherever the reference runs and merely defined where it
+    crashes (e.g. the 1024px B=10 training probe)."""
     b, h, w, c = x.shape
     g = min(b, group_size)
+    while b % g:
+        g -= 1
     y = x.reshape(g, b // g, h, w, feat, c // feat)
     var = jnp.var(y, axis=0)
     std = jnp.sqrt(var + 1e-8)

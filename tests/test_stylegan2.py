@@ -155,3 +155,23 @@ def test_minibatch_stddev_groups():
     assert out.shape == (4, 4, 4, 9)
     # constant input -> zero-ish stddev channel
     np.testing.assert_allclose(np.asarray(out[..., -1]), np.sqrt(1e-8), rtol=1e-2)
+
+
+def test_minibatch_stddev_non_divisible_batch():
+    # The reference's view(group, -1, ...) crashes when batch % group != 0
+    # (networks.py:630-633); here g falls back to the largest divisor <= 4,
+    # so e.g. B=10 groups as (2,5) and stays defined (the 1024px B=10 probe).
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(10, 4, 4, 8).astype(np.float32))
+    out = sg2.minibatch_stddev(x)
+    assert out.shape == (10, 4, 4, 9)
+    # g=2 with the reference's strided grouping (view(g, b//g) then
+    # repeat(g, ...)): members i and i + b//g share the stat
+    stat = np.asarray(out[..., -1])
+    np.testing.assert_allclose(stat[0], stat[5])
+    assert not np.allclose(stat[0], stat[1])
+    # divisible batches keep g == group_size: members i and i + b//g share
+    out8 = np.asarray(sg2.minibatch_stddev(x[:8])[..., -1])
+    np.testing.assert_allclose(out8[0], out8[2])
+    np.testing.assert_allclose(out8[0], out8[6])
+    assert not np.allclose(out8[0], out8[1])
