@@ -82,7 +82,8 @@ TRAIN_WARMUP = 2
 
 
 def bench_train(size=TRAIN_SIZE, batch=TRAIN_BATCH, remat=False,
-                remat_towers=False, iters=TRAIN_ITERS, warmup=TRAIN_WARMUP):
+                remat_towers=False, iters=TRAIN_ITERS, warmup=TRAIN_WARMUP,
+                reg_input_size=None):
     """Full-tower walk-training step throughput (two G fwds + R + VGG
     + D fwds, backward through the frozen graph into the walk, Adam).
 
@@ -106,7 +107,7 @@ def bench_train(size=TRAIN_SIZE, batch=TRAIN_BATCH, remat=False,
     cfg = EditorConfig(
         attr_list=("Smiling",), attr_idx=(31,), size=size,
         compute_dtype=jnp.bfloat16, remat_g=remat,
-        remat_towers=remat_towers,
+        remat_towers=remat_towers, reg_input_size=reg_input_size,
     )
     ed = Editor(cfg, g, reg_params=reg, vgg_params=vgg, d_params=d)
     walk = init_walk(kw, "linear_w", 512, cfg.n_latent, ["Smiling"])
@@ -148,16 +149,96 @@ def bench_sweep(ed, walk, batch: int, chunk=None):
     panels = np.linspace(0.0, 1.0, SWEEP_PANELS)[:, None] * np.ones(
         (SWEEP_PANELS, batch), np.float32
     )
-    imgs, _, _ = ed.sweep(walk, z, panels, chunk=chunk)  # compile + warm
+    # u8=True is the production vis/serve configuration: in-graph uint8
+    # conversion, 4x smaller output buffers
+    imgs, _, _ = ed.sweep(walk, z, panels, chunk=chunk, u8=True)  # warm
     float(jnp.sum(imgs.astype(jnp.float32)))
     t0 = time.perf_counter()
     for _ in range(SWEEP_ITERS):
-        imgs, _, _ = ed.sweep(walk, z, panels, chunk=chunk)
+        imgs, _, _ = ed.sweep(walk, z, panels, chunk=chunk, u8=True)
     float(jnp.sum(imgs.astype(jnp.float32)))  # host sync
     dt = time.perf_counter() - t0
     rate = SWEEP_PANELS * batch * SWEEP_ITERS / dt
     del imgs  # free the [P,B,1024,1024,3] stack before the next section
     return rate
+
+
+SERVE_BATCH = 8
+
+
+def bench_serve(ed, walk) -> dict:
+    """Real-chip serving numbers over live HTTP (VERDICT r4 weak #5): warm
+    /edit p50/p95 latency (sequential single-sample requests), micro-batched
+    /edit throughput under 8 concurrent clients, and warm /sweep latency —
+    1024px, serve_batch=8, the cli/serve.py production path (fixed-width
+    programs + MicroBatcher + compress_level-1 PNG). Reuses the sweep
+    section's warm towers, so only the width-8 edit program compiles here."""
+    import threading
+    import urllib.request
+
+    from latent2im_tpu.cli.serve import EditService, make_server
+    from latent2im_tpu.tasks.transforms import get_task
+
+    svc = EditService(ed, walk, get_task("face"), batch=SERVE_BATCH,
+                      num_panels=SWEEP_PANELS, min_alpha=0.0, max_alpha=1.0)
+    svc.warmup()
+    svc.enable_batching(8.0)
+    srv = make_server(svc, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    def post(path: str, obj: dict) -> float:
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}{path}",
+            data=json.dumps(obj).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        t0 = time.perf_counter()
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            resp.read()
+        return time.perf_counter() - t0
+
+    try:
+        # warm sequential single-sample /edit latency
+        lats = sorted(post("/edit", {"seed": i, "alpha": 0.8})
+                      for i in range(12))
+        out = {
+            "serve_edit_p50_ms": round(lats[len(lats) // 2] * 1e3, 1),
+            "serve_edit_p95_ms": round(lats[-1] * 1e3, 1),
+            "serve_batch": SERVE_BATCH,
+        }
+
+        # micro-batched throughput: 8 concurrent clients, single-sample
+        # requests coalescing into fixed-width programs
+        n_cli, per_cli = 8, 6
+        errs: list[Exception] = []
+
+        def client(k: int) -> None:
+            try:
+                for i in range(per_cli):
+                    post("/edit", {"seed": 100 + k * 31 + i, "alpha": 0.8})
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        threads = [threading.Thread(target=client, args=(k,))
+                   for k in range(n_cli)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        dt = time.perf_counter() - t0
+        if errs:
+            raise errs[0]
+        out["serve_edit_concurrent_rps"] = round(n_cli * per_cli / dt, 2)
+        out["serve_device_calls"] = svc.device_calls
+
+        # warm /sweep (P=10 panels of one sample)
+        slats = sorted(post("/sweep", {"seed": s}) for s in range(3))
+        out["serve_sweep_p50_ms"] = round(slats[1] * 1e3, 1)
+        return out
+    finally:
+        srv.shutdown()
 
 
 def _await_backend() -> None:
@@ -302,19 +383,31 @@ def main():
         "train1024_remat_g": True,
     })
     rec.update(_mfu_fields("train1024_", f1024, s1024))
+    gc.collect()
+
+    # reg_input_size=256 variant: regress at the regressor's own TRAINING
+    # resolution (engine/editor.py reg_input_size doc) — statistically truer
+    # AND it deletes the two most expensive non-G towers of the 1024px step
+    # (full-res ResNet passes). Reported side by side with the full-res row
+    # above; the profile table in BASELINE.md explains the gap.
+    sr, sar, fr2 = bench_train(size=1024, batch=8, remat=True,
+                               iters=6, warmup=2, reg_input_size=256)
+    rec.update({
+        "train1024_reg256_steps_per_s": round(sr, 3),
+        "train1024_reg256_samples_per_s": round(sar, 3),
+    })
+    rec.update(_mfu_fields("train1024_reg256_", fr2, sr))
 
     # vis/eval panel-sweep throughput at the batch sizes vis actually uses:
     # the flattened-batch sweep (engine/editor.py:sweep) replaced the
     # lax.map-at-width-B form that starved the chip (103 panel-img/s at B=1
-    # in round 3). This section runs LAST and only ever launches width-10
-    # synthesis programs: a full-width sweep program (width 20 at B=2) OOMs,
-    # and the first RESOURCE_EXHAUSTED leaves the axon remote wedged for the
-    # REST OF THE PROCESS (even a 64-byte alloc fails afterwards) — measured
-    # 2026-08-18; two full bench runs died that way, taking the headline
-    # metric with them. Chunk 10 measured 154.6 / 159.0 / 182.7 panel-img/s
-    # at B=1/2/8 in this exact after-the-edit-bench position, so nothing is
-    # lost by never attempting wider programs. Fresh towers: the edit/train
-    # sections' device trees are dropped above.
+    # in round 3). Round 5 restructured the sweep into HOST-dispatched
+    # per-chunk synthesis programs with in-graph uint8 outputs, so no single
+    # program ever holds the P*B f32 stack — the form whose width-20 program
+    # OOM'd AND wedged the axon backend for the rest of the process in round
+    # 4 (BASELINE.md; this section still runs last as cheap insurance).
+    # Default chunking is _balanced_chunk(P*B, 32): widths 10/20/27 at
+    # B=1/2/8 instead of the round-4 flat 10.
     sweep_ed_base, sweep_walk, sweep_frozen = _build_edit_setup()
     sweep_ed = sweep_ed_base.with_params(sweep_frozen)
     wedged = False
@@ -322,18 +415,18 @@ def main():
         if wedged:
             rec[f"sweep_b{b}_skipped"] = True
             continue
-        for chunk in (10, 5):
+        for chunk in (None, 10):
             try:
                 rec[f"sweep_panel_imgs_per_s_b{b}"] = round(
                     bench_sweep(sweep_ed, sweep_walk, b, chunk=chunk), 2
                 )
-                rec[f"sweep_b{b}_chunk"] = chunk
+                rec[f"sweep_b{b}_chunk"] = chunk or "balanced"
                 break
             except Exception as e:  # noqa: PERF203, BLE001 — OOM surfaces as
                 # JaxRuntimeError OR ValueError depending on the sync point
                 if "RESOURCE_EXHAUSTED" not in str(e):
                     raise
-                if chunk == 5:
+                if chunk == 10:
                     # post-OOM the backend is wedged (see above): record the
                     # miss, skip the remaining batches, still print the JSON
                     print(f"sweep B={b}: RESOURCE_EXHAUSTED; backend wedged, "
@@ -342,6 +435,15 @@ def main():
                     wedged = True
                     break
                 sweep_ed = sweep_ed_base.with_params(sweep_frozen)
+
+    if not wedged:
+        try:
+            rec.update(bench_serve(sweep_ed, sweep_walk))
+        except Exception as e:  # noqa: BLE001 — serving numbers are extra
+            # fields; never let them take the headline metric down
+            print(f"serve bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            rec["serve_error"] = f"{type(e).__name__}: {e}"
 
     print(json.dumps(rec))
 

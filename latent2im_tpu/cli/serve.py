@@ -49,7 +49,10 @@ def _png_b64(img_u8: np.ndarray) -> str:
     from PIL import Image
 
     buf = _io.BytesIO()
-    Image.fromarray(img_u8).save(buf, format="png")
+    # compress_level=1: ~4x faster encode than the default 6 for ~15% larger
+    # payloads — at 1024px the encode otherwise rivals the device time in the
+    # request latency (serving trades bytes for tail latency)
+    Image.fromarray(img_u8).save(buf, format="png", compress_level=1)
     return base64.b64encode(buf.getvalue()).decode("ascii")
 
 
@@ -268,7 +271,8 @@ class EditService:
         ).astype(np.float32)
         with self._dev_lock:
             self.device_calls += 1
-            imgs, alpha_org, _ = self.ed.sweep(self.walk, zp, panels)
+            # in-graph uint8: 4x smaller device buffers AND device->host fetch
+            imgs, alpha_org, _ = self.ed.sweep(self.walk, zp, panels, u8=True)
         imgs = imgmod.to_uint8(np.asarray(imgs)[:, :n])  # [P, n, H, W, 3]
         return {
             "panels": [

@@ -103,7 +103,7 @@ def _run_sweeps(opt, editor, walk_params, task, alphas, latents, zs, mesh,
             if mesh is not None:
                 z = meshlib.shard_batch(mesh, z, pad=True)
             imgs, alpha_org, _ = editor.sweep_combine(
-                walk_params, z, alphas, indices=idx, given_w=gw
+                walk_params, z, alphas, indices=idx, given_w=gw, u8=True
             )
             if z.shape[0] != nb:
                 imgs = imgs[:, :, :nb]
@@ -135,7 +135,11 @@ def _run_sweeps(opt, editor, walk_params, task, alphas, latents, zs, mesh,
         panels = np.stack(
             [task.scale_test_alpha(a, z.shape[0]) for a in alphas]
         ).astype(np.float32)
-        imgs, alpha_org, orig = editor.sweep(walk_params, z, panels, given_w=gw)
+        # u8=True: uint8 conversion happens in-graph, so the device->host
+        # fetch below moves 4x fewer bytes (to_uint8 passes uint8 through)
+        imgs, alpha_org, orig = editor.sweep(
+            walk_params, z, panels, given_w=gw, u8=True
+        )
         imgs = imgmod.to_uint8(np.asarray(imgs)[:, :nb])  # [P, B, H, W, 3]
         alpha_org = np.asarray(alpha_org)[:nb]
 

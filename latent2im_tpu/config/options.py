@@ -37,7 +37,13 @@ def _build_train_parser() -> argparse.ArgumentParser:
                         help="transform operation, e.g. face, scene, xray")
     parser.add_argument("--num_samples", type=int, default=20000,
                         help="number of latent z samples per epoch")
-    parser.add_argument("--loss", type=str, default="l2", choices=["l2", "lpips"])
+    parser.add_argument(
+        "--loss", type=str, default="l2", choices=["l2", "lpips"],
+        help="accepted for experiment-naming parity only; 'lpips' has NO "
+        "effect on the training loss (matches the reference, whose lpips "
+        "branch is dead code — pggan/transform_base.py:214 asserts then "
+        "ignores it)",
+    )
     parser.add_argument("--learning_rate", type=float, default=1e-4)
     parser.add_argument("--walk_type", type=str, default="linear",
                         choices=["NNz", "linear"])

@@ -356,37 +356,60 @@ class Editor:
             ag = ag[:, None]
         return fn(walk_params, jnp.asarray(z), ag, given_w)
 
-    def _synthesize_chunked(self, latents, chunk: int):
-        """Synthesize a flattened [N, ...] latent stack in device programs of
-        width `chunk` (N padded up to a multiple; pad rows discarded). chunk
-        == N is a single full-width call. The chunking keeps peak activation
-        memory bounded at large panel counts while every program runs at a
-        chip-filling batch — unlike a lax.map at the (tiny) user batch width,
-        which starved the MXU at vis/eval's B=1..2 (measured 103 panel-img/s
-        vs the edit pipeline's 276 syntheses/s; see BENCH_r04)."""
+    def _synthesize_stream(self, latents, chunk: int, u8: bool = False):
+        """Synthesize a flattened [N, ...] latent stack via HOST-dispatched
+        device programs of width `chunk` (N padded up to a multiple; pad rows
+        discarded). Each chunk is its own XLA program with its own (small)
+        output buffer, so neither the full [N, H, W, 3] result nor more than
+        one chunk's activations ever live inside a single program — the
+        round-4 one-giant-program form (a lax.map over chunks returning all
+        N f32 images) OOM'd beyond width 10 at 1024px and the first
+        RESOURCE_EXHAUSTED wedged the axon backend for the rest of the
+        process (BASELINE.md). Dispatch is async, so chunks still pipeline on
+        the device queue; the chunked form exists because a width-B program
+        starved the MXU at vis/eval's B=1..2 (measured 103 panel-img/s vs the
+        edit pipeline's 276 syntheses/s; BENCH_r04).
+
+        u8=True converts to uint8 IN-GRAPH (same clip+truncate semantics as
+        utils.image.to_uint8), shrinking every output buffer — and any
+        device→host fetch — 4x."""
         n = latents.shape[0]
+
+        def synth(ed, lat):
+            img = ed.synthesize(lat)
+            if u8:
+                img = jnp.clip(
+                    (img.astype(jnp.float32) + 1.0) * 127.5, 0.0, 255.0
+                ).astype(jnp.uint8)
+            return img
+
+        fn = self._jit(f"sweep_synth_u8{u8}", synth)
         if chunk >= n:
-            return self.synthesize(latents)
+            return fn(latents)
         n_chunks = -(-n // chunk)
         pad = n_chunks * chunk - n
         if pad:
             latents = jnp.concatenate([latents, latents[:pad]], axis=0)
-        stacked = latents.reshape((n_chunks, chunk) + latents.shape[1:])
-        imgs = jax.lax.map(self.synthesize, stacked)
-        imgs = imgs.reshape((n_chunks * chunk,) + imgs.shape[2:])
+        outs = [fn(latents[i * chunk:(i + 1) * chunk]) for i in range(n_chunks)]
+        imgs = jnp.concatenate(outs, axis=0)
         return imgs[:n]
 
     def sweep(self, walk_params, z, panel_alphas, given_w=None,
-              chunk: int | None = None):
-        """All-panels edit in one device program: returns images [P, B, ...]
-        plus (alpha_org, orig_img). Replaces the host loop at
+              chunk: int | None = None, u8: bool = False):
+        """All-panels edit: returns images [P, B, ...] plus
+        (alpha_org, orig_img). Replaces the host loop at
         transform_base.py:620-627.
 
         The P panels are flattened into the batch dimension — the latent is
-        computed once and broadcast, then ONE (chunked) synthesis runs over
-        [P*B] — so the generator always sees a chip-filling batch even at the
-        B=1..2 sizes vis/eval use. chunk bounds the synthesis program width
-        (default SWEEP_CHUNK; panels pad up to a multiple)."""
+        computed once and broadcast in a small prep program (walk math +
+        orig synthesis + regression), then the edited latents stream through
+        host-dispatched chip-filling synthesis programs of width `chunk`
+        (default SWEEP_CHUNK; panels pad up to a multiple) — so the generator
+        always sees a chip-filling batch even at the B=1..2 sizes vis/eval
+        use, and no single program holds the full P*B image stack.
+
+        u8=True returns uint8 images converted in-graph (4x smaller buffers;
+        exact to_uint8 semantics) — the vis/serve path."""
         self._require_alpha_walk("sweep")
         pa = jnp.asarray(panel_alphas, jnp.float32)
         if pa.ndim == 2:
@@ -394,7 +417,7 @@ class Editor:
         p, b = int(pa.shape[0]), int(pa.shape[1])
         c = chunk or _balanced_chunk(p * b, SWEEP_CHUNK)
 
-        def run(ed, wp, z, alphas, gw):
+        def prep(ed, wp, z, alphas, gw):
             if ed.cfg.latent == "z":
                 latent = z if gw is None else gw
             else:
@@ -410,11 +433,12 @@ class Editor:
                 latent[None], (p,) + latent.shape
             ).reshape((p * b,) + latent.shape[1:])
             edited = ed.edit(wp, flat_latent, flat_alpha)
-            imgs = ed._synthesize_chunked(edited, c)
-            return imgs.reshape((p, b) + imgs.shape[1:]), alpha_org, orig
+            return edited, alpha_org, orig
 
-        fn = self._jit(f"sweep_{given_w is None}_{p}_{b}_{c}", run)
-        return fn(walk_params, jnp.asarray(z), pa, given_w)
+        fn = self._jit(f"sweep_prep_{given_w is None}_{p}_{b}", prep)
+        edited, alpha_org, orig = fn(walk_params, jnp.asarray(z), pa, given_w)
+        imgs = self._synthesize_stream(edited, c, u8=u8)
+        return imgs.reshape((p, b) + imgs.shape[1:]), alpha_org, orig
 
     def apply_alpha_combine(self, walk_params, z, alphas_per_attr, indices,
                             given_w=None):
@@ -440,14 +464,14 @@ class Editor:
         )
         return fn(walk_params, jnp.asarray(z), ags, given_w)
 
-    def sweep_combine(self, walk_params, z, panel_alphas, indices, given_w=None):
+    def sweep_combine(self, walk_params, z, panel_alphas, indices,
+                      given_w=None, u8: bool = False):
         """All (alpha_i, alpha_j) pairs for a 2-attribute grid
         (transform_base.py:814-869): returns images [P, P, B, H, W, C].
 
-        One device program per batch: latent/orig/alpha_org compute once,
-        then the flattened P*P alpha grid folds into the batch dimension and
-        synthesizes in chip-filling chunks — the same design rule `sweep`
-        follows for 1-D panels."""
+        Same structure as `sweep`: one small prep program (latent/orig/
+        alpha_org + the flattened P*P edited-latent grid), then host-
+        dispatched chip-filling synthesis chunks."""
         import numpy as np
 
         positions = tuple(self._bank_position(i) for i in indices)
@@ -457,7 +481,7 @@ class Editor:
             [np.repeat(panels, p), np.tile(panels, p)], axis=1
         )  # [P*P, 2] row-major (a1 outer, a2 inner)
 
-        def run(ed, wp, z, grid, gw):
+        def prep(ed, wp, z, grid, gw):
             latent = ed.get_w(z) if gw is None else gw
             b = latent.shape[0]
             orig = ed.synthesize(latent)
@@ -473,13 +497,17 @@ class Editor:
                 latent[None], (n,) + latent.shape
             ).reshape((n * b,) + latent.shape[1:])
             edited = ed.edit(wp, flat_latent, flat_delta)
-            imgs = ed._synthesize_chunked(edited, _balanced_chunk(n * b, SWEEP_CHUNK))
-            return imgs.reshape((n, b) + imgs.shape[1:]), alpha_org, orig
+            return edited, alpha_org, orig
 
-        fn = self._jit(f"sweep_combine_{positions}_{given_w is None}", run)
-        imgs, alpha_org, orig = fn(
+        fn = self._jit(f"sweep_combine_{positions}_{given_w is None}", prep)
+        edited, alpha_org, orig = fn(
             walk_params, jnp.asarray(z), jnp.asarray(grid), given_w
         )
+        b = alpha_org.shape[0]
+        imgs = self._synthesize_stream(
+            edited, _balanced_chunk(p * p * b, SWEEP_CHUNK), u8=u8
+        )
+        imgs = imgs.reshape((p * p, b) + imgs.shape[1:])
         return imgs.reshape(p, p, *imgs.shape[1:]), alpha_org, orig
 
 

@@ -681,11 +681,23 @@ def minibatch_stddev(x, group_size=4, feat=1):
     errors otherwise (so it can only ever run at divisible batches); here g
     falls back to the largest divisor of b that is <= group_size, which is
     bit-identical wherever the reference runs and merely defined where it
-    crashes (e.g. the 1024px B=10 training probe)."""
+    crashes (e.g. the 1024px B=10 training probe). Degenerate case: a PRIME
+    b > group_size reaches g=1, where the stddev channel is the constant
+    sqrt(1e-8) — the feature is effectively off; warned once below."""
     b, h, w, c = x.shape
+    assert b > 0, "minibatch_stddev requires a non-empty batch"
     g = min(b, group_size)
     while b % g:
         g -= 1
+    if g == 1 and b > 1 and not getattr(minibatch_stddev, "_warned_g1", False):
+        minibatch_stddev._warned_g1 = True
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "minibatch_stddev: batch %d has no divisor <= group_size %d; "
+            "group=1 makes the stddev channel constant (feature disabled). "
+            "Prefer a batch divisible by the group size.", b, group_size
+        )
     y = x.reshape(g, b // g, h, w, feat, c // feat)
     var = jnp.var(y, axis=0)
     std = jnp.sqrt(var + 1e-8)

@@ -18,7 +18,12 @@ _NATIVE_DIR = os.path.join(
 
 
 def _find_so():
-    hits = glob.glob(os.path.join(_NATIVE_DIR, "_l2i_native*.so"))
+    # installed form first (setup.py builds _l2i_native_ext INTO the package),
+    # then the source-checkout in-place build under repo-root native/
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    hits = glob.glob(os.path.join(pkg_dir, "_l2i_native*.so")) + glob.glob(
+        os.path.join(_NATIVE_DIR, "_l2i_native*.so")
+    )
     return hits[0] if hits else None
 
 

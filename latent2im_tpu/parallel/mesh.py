@@ -162,8 +162,15 @@ def init_distributed(coordinator: str | None = None, num_processes: int | None =
     elif coordinator is None:
         try:  # TPU pod auto-detection (env-driven); harmless elsewhere
             jax.distributed.initialize()
-        except Exception:
-            pass
+        except Exception as e:  # noqa: BLE001 — single-host fallback is the
+            # normal path, but a MISCONFIGURED pod lands here too: say so
+            # once instead of silently degrading to single-host.
+            import logging
+
+            logging.getLogger(__name__).info(
+                "jax.distributed auto-init unavailable (%s: %s); "
+                "proceeding single-host", type(e).__name__, e
+            )
     return jax.process_index()
 
 

@@ -54,8 +54,13 @@ def save_im(a: np.ndarray, filename: str, format: str = "png") -> None:
 
 
 def to_uint8(ims) -> np.ndarray:
-    """[-1,1] float images -> uint8 (the reference's clip_ims)."""
-    return np.uint8(np.clip(((np.asarray(ims) + 1) / 2.0) * 255, 0, 255))
+    """[-1,1] float images -> uint8 (the reference's clip_ims). Idempotent:
+    already-uint8 input (e.g. Editor.sweep(u8=True)'s in-graph conversion,
+    which uses these exact clip+truncate semantics) passes through."""
+    ims = np.asarray(ims)
+    if ims.dtype == np.uint8:
+        return ims
+    return np.uint8(np.clip(((ims + 1) / 2.0) * 255, 0, 255))
 
 
 def load_and_resize_image(path: str, size: int = 256) -> np.ndarray:

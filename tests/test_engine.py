@@ -147,6 +147,28 @@ def test_sweep_matches_apply_alpha_and_chunking(editor):
                                atol=1e-5, rtol=1e-5)
 
 
+def test_sweep_u8_matches_host_conversion(editor):
+    """sweep(u8=True)'s in-graph uint8 conversion must be BIT-identical to
+    the host-side to_uint8 of the f32 sweep (same clip + truncate), through
+    both the single-call and the chunked host-dispatched synthesis paths —
+    and to_uint8 must pass uint8 input through unchanged (idempotence)."""
+    from latent2im_tpu.utils.image import to_uint8
+
+    walk = init_walk(
+        jax.random.PRNGKey(5), "linear_w", STYLE_DIM, editor.cfg.n_latent, ["Smiling"]
+    )
+    z = np.random.RandomState(2).randn(2, STYLE_DIM).astype(np.float32)
+    panels = np.linspace(0, 1, 3)[:, None] * np.ones((3, 2), np.float32)
+    f32, ao_f, orig_f = editor.sweep(walk, z, panels)
+    u8, ao_u, _ = editor.sweep(walk, z, panels, u8=True)
+    assert np.asarray(u8).dtype == np.uint8
+    np.testing.assert_array_equal(np.asarray(u8), to_uint8(f32))
+    np.testing.assert_array_equal(to_uint8(np.asarray(u8)), to_uint8(f32))
+    np.testing.assert_allclose(np.asarray(ao_u), np.asarray(ao_f), atol=1e-6)
+    u8_c, _, _ = editor.sweep(walk, z, panels, chunk=4, u8=True)
+    np.testing.assert_array_equal(np.asarray(u8_c), np.asarray(u8))
+
+
 def test_train_step_single_device(editor):
     task = get_task("face")
     walk = init_walk(
