@@ -83,7 +83,7 @@ TRAIN_WARMUP = 2
 
 def bench_train(size=TRAIN_SIZE, batch=TRAIN_BATCH, remat=False,
                 remat_towers=False, iters=TRAIN_ITERS, warmup=TRAIN_WARMUP,
-                reg_input_size=None):
+                reg_input_size=None, kernel_impl=None):
     """Full-tower walk-training step throughput (two G fwds + R + VGG
     + D fwds, backward through the frozen graph into the walk, Adam).
 
@@ -108,6 +108,7 @@ def bench_train(size=TRAIN_SIZE, batch=TRAIN_BATCH, remat=False,
         attr_list=("Smiling",), attr_idx=(31,), size=size,
         compute_dtype=jnp.bfloat16, remat_g=remat,
         remat_towers=remat_towers, reg_input_size=reg_input_size,
+        kernel_impl=kernel_impl,
     )
     ed = Editor(cfg, g, reg_params=reg, vgg_params=vgg, d_params=d)
     walk = init_walk(kw, "linear_w", 512, cfg.n_latent, ["Smiling"])

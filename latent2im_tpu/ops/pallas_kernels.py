@@ -13,6 +13,16 @@ Two kernels re-create what the reference implements in CUDA
     op/upfirdn2d.py:110-115).
 
 Both are parity-tested against the XLA paths in tests/test_ops_pallas.py.
+
+STATUS (round 5): ``upfirdn2d_pallas`` is FROZEN as a documented worked
+example. Its one fair end-to-end shot (scripts/bench_pallas_ufd.py,
+2026-08-19: full train steps with ``impl='pallas_ufd'`` routing upfirdn to
+this kernel at every qualifying C%128==0 site) measured 92.9 vs 201.0
+samples/s at 256px and 17.2 vs 19.2 at 1024px — identical cost-model FLOPs,
+so the loss is pure fusion/launch overhead: each Pallas call is an opaque
+boundary that breaks XLA's pad+conv+epilogue (and VJP transpose) fusions
+the default conv formulation rides. Default dispatch never selects it;
+BASELINE.md carries the ledger entry.
 """
 
 from __future__ import annotations

@@ -86,10 +86,12 @@ def upfirdn2d(
       kernel: [kh, kw] FIR kernel (float32).
       up/down: integer resampling factors (applied to both spatial dims).
       pad: (pad0, pad1) applied to both dims, or (px0, px1, py0, py1).
-      impl: 'xla' | 'pallas' | None (auto).
+      impl: 'xla' | 'pallas' | 'pallas_ufd' | None (auto). 'pallas_ufd'
+        routes ONLY upfirdn2d to the Pallas kernel (fused_act ignores it) —
+        the knob for measuring the upfirdn kernel end-to-end in isolation.
     """
     px0, px1, py0, py1 = _as_pads(pad)
-    if impl == "pallas":
+    if impl in ("pallas", "pallas_ufd"):
         from . import pallas_kernels
 
         if pallas_kernels.pallas_supported(x.shape, kernel.shape, up, down):

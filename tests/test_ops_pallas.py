@@ -70,6 +70,30 @@ def test_upfirdn_pallas_matches_xla(up, down, pad, h, w):
     )
 
 
+def test_upfirdn_impl_pallas_ufd_dispatch():
+    """impl='pallas_ufd' routes qualifying upfirdn sites to the Pallas
+    kernel (same values) while fused_act treats it as the default path —
+    the isolation knob scripts/bench_pallas_ufd.py measures with."""
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 8, 8, 128).astype(np.float32))
+    k = make_kernel([1, 3, 3, 1])
+    want = upfirdn2d_ref(np.asarray(x), np.asarray(k), up=2, pad=(2, 1))
+    got = upfirdn2d(x, k, up=2, pad=(2, 1), impl="pallas_ufd")
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
+    # C=3 falls back to the conv path instead of failing
+    x3 = jnp.asarray(rng.randn(2, 8, 8, 3).astype(np.float32))
+    want3 = upfirdn2d_ref(np.asarray(x3), np.asarray(k), up=2, pad=(2, 1))
+    got3 = upfirdn2d(x3, k, up=2, pad=(2, 1), impl="pallas_ufd")
+    np.testing.assert_allclose(np.asarray(got3), want3, rtol=1e-4, atol=1e-4)
+    # fused_act: 'pallas_ufd' is NOT its pallas switch (stays on XLA path)
+    b = jnp.asarray(rng.randn(128).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(fused_leaky_relu(x, b, impl="pallas_ufd")),
+        np.asarray(fused_leaky_relu(x, b)),
+        rtol=0, atol=0,
+    )
+
+
 def test_upfirdn_pallas_grad_matches_xla():
     rng = np.random.RandomState(3)
     x = jnp.asarray(rng.randn(1, 8, 8, 256).astype(np.float32))
