@@ -83,7 +83,8 @@ TRAIN_WARMUP = 2
 
 def bench_train(size=TRAIN_SIZE, batch=TRAIN_BATCH, remat=False,
                 remat_towers=False, iters=TRAIN_ITERS, warmup=TRAIN_WARMUP,
-                reg_input_size=None, kernel_impl=None):
+                reg_input_size=None, content_input_size=None,
+                kernel_impl=None):
     """Full-tower walk-training step throughput (two G fwds + R + VGG
     + D fwds, backward through the frozen graph into the walk, Adam).
 
@@ -108,7 +109,7 @@ def bench_train(size=TRAIN_SIZE, batch=TRAIN_BATCH, remat=False,
         attr_list=("Smiling",), attr_idx=(31,), size=size,
         compute_dtype=jnp.bfloat16, remat_g=remat,
         remat_towers=remat_towers, reg_input_size=reg_input_size,
-        kernel_impl=kernel_impl,
+        content_input_size=content_input_size, kernel_impl=kernel_impl,
     )
     ed = Editor(cfg, g, reg_params=reg, vgg_params=vgg, d_params=d)
     walk = init_walk(kw, "linear_w", 512, cfg.n_latent, ["Smiling"])
@@ -398,6 +399,21 @@ def main():
         "train1024_reg256_samples_per_s": round(sar, 3),
     })
     rec.update(_mfu_fields("train1024_reg256_", fr2, sr))
+    gc.collect()
+
+    # full-remedy variant (round-5 profile finding, BASELINE.md): the 1024px
+    # step's biggest cost block is the full-res VGG content tower; resizing
+    # BOTH loss towers to their statistically-native 256px
+    # (reg_input_size=256 + content_input_size=256) leaves a G-dominated
+    # profile at ~1.6x the plain-row throughput.
+    sm, sam, fm = bench_train(size=1024, batch=8, remat=True, iters=6,
+                              warmup=2, reg_input_size=256,
+                              content_input_size=256)
+    rec.update({
+        "train1024_remedy_steps_per_s": round(sm, 3),
+        "train1024_remedy_samples_per_s": round(sam, 3),
+    })
+    rec.update(_mfu_fields("train1024_remedy_", fm, sm))
 
     # vis/eval panel-sweep throughput at the batch sizes vis actually uses:
     # the flattened-batch sweep (engine/editor.py:sweep) replaced the

@@ -70,6 +70,11 @@ def _build_train_parser() -> argparse.ArgumentParser:
                         help="bilinear-resize images to this size before "
                              "regression (e.g. 256 = the regressor's trained "
                              "resolution); default: feed generator resolution")
+    parser.add_argument("--content_input_size", type=int, default=None,
+                        help="bilinear-resize both images to this size before "
+                             "the VGG content loss (e.g. 256); default: "
+                             "compare at generator resolution — the 1024px "
+                             "profile's biggest cost block (BASELINE.md)")
     parser.add_argument("--fixed_noise", action="store_true",
                         help="use the stored noise buffers during training "
                              "instead of fresh per-step noise "

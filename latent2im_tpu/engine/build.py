@@ -200,6 +200,7 @@ def build_editor_from_options(opt, seed: int = 0):
         stable_bce=getattr(opt, "stable_bce", False),
         fixed_noise=getattr(opt, "fixed_noise", False),
         reg_input_size=getattr(opt, "reg_input_size", None),
+        content_input_size=getattr(opt, "content_input_size", None),
         compute_dtype=jnp.bfloat16 if getattr(opt, "bf16", False) else jnp.float32,
         kernel_impl=getattr(opt, "kernel_impl", None),
         remat_g=getattr(opt, "remat_g", False),

@@ -70,6 +70,13 @@ class EditorConfig:
     # 1024px G's output at its trained resolution is statistically truer AND
     # ~16x cheaper — opt-in because it changes reported attribute scores.
     reg_input_size: int | None = None
+    # Bilinear-resize BOTH images to this size before the VGG content loss
+    # (None = compare at generator resolution, the reference's behavior,
+    # transform_base.py:407-414). The round-5 1024px train profile shows the
+    # full-res VGG tower is the single largest cost block of the step; at
+    # 256 the content term keeps its perceptual meaning at ~1/16 the FLOPs.
+    # Opt-in because it changes the loss definition (BASELINE.md ledger).
+    content_input_size: int | None = None
     compute_dtype: Any = jnp.float32
     kernel_impl: str | None = None  # None|'xla'|'pallas' for ops dispatch
     # Rematerialize the edited-path G forward in the train step's backward:
@@ -202,6 +209,12 @@ class Editor:
 
     def _reg_input(self, img):
         s = self.cfg.reg_input_size
+        if s and img.shape[1] != s:
+            img = _bilinear_resize(img, s, s)
+        return img
+
+    def _content_input(self, img):
+        s = self.cfg.content_input_size
         if s and img.shape[1] != s:
             img = _bilinear_resize(img, s, s)
         return img

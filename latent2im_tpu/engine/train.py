@@ -148,7 +148,7 @@ def make_train_step(
             content = _ckpt(
                 lambda org, new: L.content_loss(ed.vgg_params, org, new,
                                                 dtype=cfg.compute_dtype)
-            )(img_org, img_new)
+            )(ed._content_input(img_org), ed._content_input(img_new))
         if cfg.no_gan_loss:
             gan = 0.0
         else:

@@ -56,6 +56,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--reg_input_size", type=int, default=None)
+    ap.add_argument("--content_input_size", type=int, default=None)
     ap.add_argument("--top", type=int, default=15)
     args = ap.parse_args()
 
@@ -84,6 +85,7 @@ def main() -> None:
         attr_list=("Smiling",), attr_idx=(31,), size=1024,
         compute_dtype=jnp.bfloat16, remat_g=True,
         reg_input_size=args.reg_input_size,
+        content_input_size=args.content_input_size,
     )
     ed = Editor(cfg, g, reg_params=reg, vgg_params=vgg, d_params=d)
     walk = init_walk(kw, "linear_w", 512, cfg.n_latent, ["Smiling"])
@@ -112,7 +114,8 @@ def main() -> None:
     per_step = total / args.steps
     print(f"\ndevice total {total:.1f} ms over {args.steps} steps "
           f"= {per_step:.1f} ms/step "
-          f"(reg_input_size={args.reg_input_size})\n")
+          f"(reg_input_size={args.reg_input_size}, "
+          f"content_input_size={args.content_input_size})\n")
     print(f"{'ms/step':>9}  {'%step':>6}  {'n':>4}  op / source")
     for key, ms, n, src in rows[:args.top]:
         print(f"{ms / args.steps:9.2f}  {100 * ms / total:6.2f}  "

@@ -330,6 +330,60 @@ def test_remat_g_step_matches_plain_step(editor):
         assert_close(base[1], got[1], rtol=1e-4, atol=1e-7)
 
 
+def test_content_input_size_step(editor):
+    """cfg.content_input_size resizes BOTH images before the VGG content
+    loss only: at the generator resolution it is a no-op (bit-identical
+    step); at half resolution the content term changes while reg/gan terms
+    (full-res images) are untouched."""
+    import dataclasses
+
+    task = get_task("face")
+    walk = init_walk(jax.random.PRNGKey(11), "linear_w", STYLE_DIM,
+                     editor.cfg.n_latent, ["Smiling"])
+    opt = make_optimizer(1e-3)
+    z = jnp.asarray(np.random.RandomState(2).randn(4, STYLE_DIM), jnp.float32)
+    key = jax.random.PRNGKey(6)
+
+    def run(cis):
+        ed = Editor(dataclasses.replace(editor.cfg, content_input_size=cis),
+                    editor.g_params, reg_params=editor.reg_params,
+                    vgg_params=editor.vgg_params, d_params=editor.d_params)
+        step = make_train_step(ed, task, opt)
+        w2, _, m = step(jax.tree_util.tree_map(jnp.copy, walk),
+                        opt.init(walk), z, key)
+        return {k: float(m[k]) for k in
+                ("loss", "reg_loss", "content_loss", "gan_loss")}, w2
+
+    plain, w_plain = run(None)
+    noop, w_noop = run(SIZE)  # resize to own size short-circuits
+    assert plain == noop
+    np.testing.assert_array_equal(np.asarray(w_plain["w"]),
+                                  np.asarray(w_noop["w"]))
+    half, _ = run(SIZE // 2)
+    assert all(np.isfinite(v) for v in half.values())
+    assert half["reg_loss"] == plain["reg_loss"]
+    assert half["gan_loss"] == plain["gan_loss"]
+    assert half["content_loss"] != plain["content_loss"]
+
+
+def test_content_input_resizes_like_reg_input(editor):
+    """Editor._content_input mirrors _reg_input's bilinear semantics."""
+    import dataclasses
+
+    from latent2im_tpu.engine.editor import _bilinear_resize
+
+    ed = Editor(dataclasses.replace(editor.cfg, content_input_size=16),
+                editor.g_params, reg_params=editor.reg_params,
+                vgg_params=editor.vgg_params, d_params=editor.d_params)
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, SIZE, SIZE, 3))
+    np.testing.assert_allclose(
+        np.asarray(ed._content_input(img)),
+        np.asarray(_bilinear_resize(img, 16, 16)), rtol=1e-6, atol=1e-6)
+    # no-op when already at size
+    small = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 3))
+    assert ed._content_input(small) is small
+
+
 def test_train_loop_dsprites_subset_host_alpha_fallback():
     """A dsprites --attrList subset the device sampler can't express must
     fall back to host-numpy alpha sampling (train_loop probes the sampler),
