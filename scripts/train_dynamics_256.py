@@ -48,6 +48,16 @@ def main() -> None:
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--log_every", type=int, default=20)
     ap.add_argument(
+        "--stable_bce", action="store_true",
+        help="train with the numerically-stable sigmoid BCE (--stable_bce in "
+        "the CLI) instead of the reference's raw-BCE. With a RANDOM-init "
+        "regressor the raw scores sit outside [0,1], where the reference's "
+        "raw-BCE is unbounded below for pred<0 at target<1 (losses.py:raw_bce"
+        " — log(1-p) grows without bound), so 'gap to target' is not a "
+        "meaningful probe under raw-BCE + random weights; sigmoid BCE makes "
+        "it meaningful (score -> logit(target)).",
+    )
+    ap.add_argument(
         "--out", type=str,
         default=os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -72,7 +82,7 @@ def main() -> None:
     vgg = vggm.init_vgg(kv, "vgg19")
     cfg = EditorConfig(
         attr_list=("Smiling",), attr_idx=(31,), size=args.size,
-        compute_dtype=jnp.bfloat16,
+        compute_dtype=jnp.bfloat16, stable_bce=args.stable_bce,
     )
     ed = Editor(cfg, g, reg_params=reg, vgg_params=vgg, d_params=d)
     walk = init_walk(kw, "linear_w", 512, cfg.n_latent, ["Smiling"])
@@ -99,11 +109,17 @@ def main() -> None:
         a0, a1 = probe(wp, z_probe, target)
         a0, a1 = np.asarray(a0, np.float64), np.asarray(a1, np.float64)
         t = np.asarray(target, np.float64)
+        # gap is measured in the space the loss optimizes: sigmoid(score)
+        # under --stable_bce, the raw score under the reference's raw-BCE
+        # (where the metric is only meaningful for scores inside [0,1] —
+        # see --stable_bce help)
+        p0 = 1.0 / (1.0 + np.exp(-a0)) if args.stable_bce else a0
+        p1 = 1.0 / (1.0 + np.exp(-a1)) if args.stable_bce else a1
         return {
             "mean_score_orig": float(a0.mean()),
             "mean_score_edited": float(a1.mean()),
-            "mean_abs_gap_orig": float(np.abs(a0 - t).mean()),
-            "mean_abs_gap_edited": float(np.abs(a1 - t).mean()),
+            "mean_abs_gap_orig": float(np.abs(p0 - t).mean()),
+            "mean_abs_gap_edited": float(np.abs(p1 - t).mean()),
         }
 
     print("compiling probe + step ...", flush=True)
@@ -140,6 +156,7 @@ def main() -> None:
             "size_px": args.size, "batch": args.batch, "steps": args.steps,
             "lr": args.lr, "walk": "linear_w", "channel_table": "real",
             "n_mlp": 8, "compute_dtype": "bfloat16",
+            "loss_form": "stable_bce" if args.stable_bce else "raw_bce",
             "device": jax.devices()[0].device_kind,
         },
         "wall_s": round(wall, 1),
