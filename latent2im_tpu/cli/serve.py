@@ -42,7 +42,6 @@ import numpy as np
 
 from ..config.options import VisOptions
 from ..engine.build import load_editor_for_inference
-from ..utils import image as imgmod
 
 
 def _png_b64(img_u8: np.ndarray) -> str:
@@ -211,7 +210,15 @@ class EditService:
     def _edit_batch(self, z: np.ndarray, a: np.ndarray, index=None):
         """Raw fixed-width edit: z [n,D], a [n] -> (uint8 imgs [n,...],
         alpha_org [n,...]). The single device-program path every edit route
-        (direct or micro-batched) funnels through."""
+        (direct or micro-batched) funnels through.
+
+        The fetch is the serving bottleneck, not the program: a padded
+        batch-8 1024px f32 result is ~100 MB of device→host traffic per
+        request (measured ~10 s p50 over the axon tunnel; on a local host
+        it's still 100 MB of PCIe per request). u8=True converts in-graph
+        (4x) and the [:n] slice runs ON DEVICE before the transfer, so only
+        the real rows ever cross — 3 MB for a single-sample request, a
+        measured ~30x latency win (BASELINE.md serving section)."""
         zp, n = self._pad(z)
         ap = np.concatenate(
             [a, np.repeat(a[-1:], zp.shape[0] - n, axis=0)]
@@ -219,10 +226,10 @@ class EditService:
         with self._dev_lock:
             self.device_calls += 1
             edited, alpha_org, _ = self.ed.apply_alpha(
-                self.walk, zp, ap, index=None if index is None else int(index)
+                self.walk, zp, ap,
+                index=None if index is None else int(index), u8=True,
             )
-        return (imgmod.to_uint8(np.asarray(edited)[:n]),
-                np.asarray(alpha_org)[:n])
+        return (np.asarray(edited[:n]), np.asarray(alpha_org[:n]))
 
     def edit(self, req: dict) -> dict:
         z = self._zs(req)
@@ -273,7 +280,9 @@ class EditService:
             self.device_calls += 1
             # in-graph uint8: 4x smaller device buffers AND device->host fetch
             imgs, alpha_org, _ = self.ed.sweep(self.walk, zp, panels, u8=True)
-        imgs = imgmod.to_uint8(np.asarray(imgs)[:, :n])  # [P, n, H, W, 3]
+        # slice the pad rows off ON DEVICE before fetching: only the real
+        # [P, n] panels cross the device→host link (same rule as _edit_batch)
+        imgs = np.asarray(imgs[:, :n])  # [P, n, H, W, 3] uint8
         return {
             "panels": [
                 [_png_b64(imgs[pi, bi]) for bi in range(n)]

@@ -328,7 +328,8 @@ class Editor:
             f"{self.cfg.attr_idx}"
         )
 
-    def apply_alpha(self, walk_params, z, alpha_to_graph, given_w=None, index=None):
+    def apply_alpha(self, walk_params, z, alpha_to_graph, given_w=None,
+                    index=None, u8: bool = False):
         """Inference-time edit (transform_base.py:554-603).
 
         Regress the current attribute scores, compute the delta to the
@@ -337,12 +338,24 @@ class Editor:
         every column moves toward the target; with a sub-bank only the
         matching column is overridden.
 
+        u8=True converts the returned images to uint8 IN-GRAPH (exact
+        utils.image.to_uint8 clip+truncate semantics) — 4x smaller output
+        buffers and, critically for serving, a 4x smaller device→host fetch
+        per request (BASELINE.md serving section).
+
         Returns (edited_img, alpha_org, orig_img).
         """
         self._require_alpha_walk("apply_alpha")
         # reference branch (:576-583): `index` is a regressor-table attribute
         # id, mapped through the bank's attr_idx (an untrained id raises)
         idx_pos = None if index is None else self._bank_position(index)
+
+        def _u8(img):
+            if not u8:
+                return img
+            return jnp.clip(
+                (img.astype(jnp.float32) + 1.0) * 127.5, 0.0, 255.0
+            ).astype(jnp.uint8)
 
         def run(ed, wp, z, ag, gw):
             if ed.cfg.latent == "z":
@@ -353,7 +366,7 @@ class Editor:
             alpha_org = ed.regress(orig)
             if ed.cfg.latent == "z":
                 edited = ed.synthesize(ed.edit(wp, latent, ag))
-                return edited, alpha_org, orig
+                return _u8(edited), alpha_org, _u8(orig)
             delta = ag - alpha_org
             if idx_pos is not None:
                 delta = delta.at[:, idx_pos].set(
@@ -361,9 +374,9 @@ class Editor:
                     - alpha_org[:, idx_pos]
                 )
             edited = ed.synthesize(ed.edit(wp, latent, delta))
-            return edited, alpha_org, orig
+            return _u8(edited), alpha_org, _u8(orig)
 
-        fn = self._jit(f"apply_alpha_{given_w is None}_{idx_pos}", run)
+        fn = self._jit(f"apply_alpha_{given_w is None}_{idx_pos}_u8{u8}", run)
         ag = jnp.asarray(alpha_to_graph, jnp.float32)
         if ag.ndim == 1:
             ag = ag[:, None]

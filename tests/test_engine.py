@@ -109,6 +109,15 @@ def test_apply_alpha_roundtrip(editor):
     assert orig.shape == (2, SIZE, SIZE, 3)
     u8 = clip_ims(edited)
     assert u8.dtype == np.uint8
+    # u8=True converts in-graph with the exact to_uint8 semantics — the
+    # serving fetch path (cli/serve.py _edit_batch) relies on value parity
+    edited8, alpha_org8, orig8 = editor.apply_alpha(
+        walk, z, np.full((2, 1), 0.9), u8=True
+    )
+    assert edited8.dtype == jnp.uint8 and orig8.dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(edited8), u8)
+    np.testing.assert_array_equal(np.asarray(orig8), clip_ims(orig))
+    np.testing.assert_allclose(np.asarray(alpha_org8), np.asarray(alpha_org))
 
 
 def test_sweep_panels(editor):
