@@ -206,6 +206,13 @@ class EditService:
         z = np.zeros((self.batch, self.dim_z), np.float32)
         self.edit({"z": z.tolist(), "alpha": 0.5})
         self.sweep({"z": z.tolist()})
+        # also warm the single-sample shape: the device-side [:1] result
+        # slice (_edit_batch fetch path) is its own tiny program — without
+        # this the FIRST single-sample request pays its compile (the p95
+        # outlier in the first real-chip measurement, BASELINE.md serving
+        # section). n=1 is the common case (micro-batched interactive use).
+        self.edit({"z": z[:1].tolist(), "alpha": 0.5})
+        self.sweep({"z": z[:1].tolist()})
 
     def _edit_batch(self, z: np.ndarray, a: np.ndarray, index=None):
         """Raw fixed-width edit: z [n,D], a [n] -> (uint8 imgs [n,...],
