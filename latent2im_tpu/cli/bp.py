@@ -135,6 +135,8 @@ def main(argv=None):
         )
         np.save(os.path.join(args.save_dir, "latent", f"{bi}_w.npy"),
                 np.asarray(w))
+        np.save(os.path.join(args.save_dir, f"{bi}_loss.npy"),
+                np.asarray(history, np.float64))
         print("saved", os.path.join(args.save_dir, "latent", f"{bi}_w.npy"))
 
 

@@ -17,6 +17,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..models import stylegan2 as sg2
@@ -108,13 +109,14 @@ def invert(
     target = jnp.asarray(target_imgs)
     w = init_w(key, target.shape[0])
     opt_state = tx.init(w)
-    history = []
+    history = []  # device scalars: appended async, fetched once at the end
     output = None
     for loop in range(1, n_loops + 1):
         w, opt_state, loss, output = step(w, opt_state, target)
-        if loop % show_freq == 0 or loop == n_loops:
-            lv = float(loss)
-            history.append(lv)
-            if on_loop is not None:
-                on_loop(loop, lv, output)
-    return w, output, history
+        history.append(loss)
+        if (loop % show_freq == 0 or loop == n_loops) and on_loop is not None:
+            on_loop(loop, float(loss), output)
+    hist = (
+        np.asarray(jnp.stack(history), np.float64).tolist() if history else []
+    )
+    return w, output, hist
