@@ -204,15 +204,16 @@ class EditService:
     # -- endpoints ----------------------------------------------------------
     def warmup(self) -> None:
         z = np.zeros((self.batch, self.dim_z), np.float32)
-        self.edit({"z": z.tolist(), "alpha": 0.5})
-        self.sweep({"z": z.tolist()})
-        # also warm the single-sample shape: the device-side [:1] result
-        # slice (_edit_batch fetch path) is its own tiny program — without
-        # this the FIRST single-sample request pays its compile (the p95
-        # outlier in the first real-chip measurement, BASELINE.md serving
-        # section). n=1 is the common case (micro-batched interactive use).
-        self.edit({"z": z[:1].tolist(), "alpha": 0.5})
-        self.sweep({"z": z[:1].tolist()})
+        # Every client-reachable result width n has its own device-side [:n]
+        # slice program on the fetch path (its compile was the p95 outlier
+        # in the first real-chip measurement, BASELINE.md serving section) —
+        # and the micro-batcher coalesces ANY 1..batch pending requests into
+        # one launch, so every width is reachable. Warm them all, widest
+        # first (the full padded program compiles once, on the first call;
+        # the remaining widths only compile their tiny slices).
+        for n in range(self.batch, 0, -1):
+            self.edit({"z": z[:n].tolist(), "alpha": 0.5})
+            self.sweep({"z": z[:n].tolist()})
 
     def _edit_batch(self, z: np.ndarray, a: np.ndarray, index=None):
         """Raw fixed-width edit: z [n,D], a [n] -> (uint8 imgs [n,...],

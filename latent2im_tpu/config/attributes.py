@@ -11,6 +11,12 @@ from __future__ import annotations
 import os
 from collections import OrderedDict
 
+# vocabulary files ship INSIDE the package (latent2im_tpu/dataset/ — wheel-
+# safe, no top-level site-packages dir); the repo-root dataset/ copies keep
+# the reference's checkout layout and are the fallback for older checkouts.
+_PKG_DATA = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "dataset"
+)
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DEFAULT_SCENE_TABLE = OrderedDict(
@@ -48,6 +54,9 @@ def default_attr_path(transform: str) -> str:
     }.get(transform)
     if name is None:
         return ""
+    pkg = os.path.join(_PKG_DATA, name)
+    if os.path.isfile(pkg):
+        return pkg
     return os.path.join(_REPO_ROOT, "dataset", name)
 
 

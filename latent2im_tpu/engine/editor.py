@@ -49,6 +49,29 @@ def _balanced_chunk(n: int, cap: int) -> int:
     return -(-n // n_chunks)
 
 
+def _u8_graph(img):
+    """In-graph uint8 conversion, exact utils.image.to_uint8 clip+truncate
+    semantics ((x+1)*127.5 is single-rounding-equivalent to the host's
+    ((x+1)/2)*255; pinned by the u8 parity tests). The ONE definition every
+    u8=True path shares."""
+    return jnp.clip(
+        (img.astype(jnp.float32) + 1.0) * 127.5, 0.0, 255.0
+    ).astype(jnp.uint8)
+
+
+# Donated placement of one synthesis chunk into the preallocated result
+# stack: buf is donated, so XLA updates it in place — peak residency stays
+# at (stack + one chunk) instead of the ~2x-stack transient a final
+# jnp.concatenate over all chunks would hold. `start` is a traced scalar:
+# one compile per (stack, chunk) shape pair, not per chunk index.
+_place_chunk = jax.jit(
+    lambda buf, chunk_imgs, start: jax.lax.dynamic_update_slice_in_dim(
+        buf, chunk_imgs, start, 0
+    ),
+    donate_argnums=0,
+)
+
+
 @dataclasses.dataclass(frozen=True)
 class EditorConfig:
     model: str = "stylegan_v2_real"
@@ -351,11 +374,7 @@ class Editor:
         idx_pos = None if index is None else self._bank_position(index)
 
         def _u8(img):
-            if not u8:
-                return img
-            return jnp.clip(
-                (img.astype(jnp.float32) + 1.0) * 127.5, 0.0, 255.0
-            ).astype(jnp.uint8)
+            return _u8_graph(img) if u8 else img
 
         def run(ed, wp, z, ag, gw):
             if ed.cfg.latent == "z":
@@ -386,8 +405,9 @@ class Editor:
         """Synthesize a flattened [N, ...] latent stack via HOST-dispatched
         device programs of width `chunk` (N padded up to a multiple; pad rows
         discarded). Each chunk is its own XLA program with its own (small)
-        output buffer, so neither the full [N, H, W, 3] result nor more than
-        one chunk's activations ever live inside a single program — the
+        output buffer, placed into one preallocated (donated, in-place)
+        result stack — so no program ever holds more than one chunk's
+        activations, and peak residency is the result stack + one chunk — the
         round-4 one-giant-program form (a lax.map over chunks returning all
         N f32 images) OOM'd beyond width 10 at 1024px and the first
         RESOURCE_EXHAUSTED wedged the axon backend for the rest of the
@@ -403,11 +423,7 @@ class Editor:
 
         def synth(ed, lat):
             img = ed.synthesize(lat)
-            if u8:
-                img = jnp.clip(
-                    (img.astype(jnp.float32) + 1.0) * 127.5, 0.0, 255.0
-                ).astype(jnp.uint8)
-            return img
+            return _u8_graph(img) if u8 else img
 
         fn = self._jit(f"sweep_synth_u8{u8}", synth)
         if chunk >= n:
@@ -416,9 +432,20 @@ class Editor:
         pad = n_chunks * chunk - n
         if pad:
             latents = jnp.concatenate([latents, latents[:pad]], axis=0)
-        outs = [fn(latents[i * chunk:(i + 1) * chunk]) for i in range(n_chunks)]
-        imgs = jnp.concatenate(outs, axis=0)
-        return imgs[:n]
+        # Assemble chunks into a preallocated [n, ...] stack via donated
+        # dynamic-update-slice placements (bounds residency at stack + one
+        # chunk; a jnp.concatenate over all chunks is ONE program holding
+        # every chunk plus the full stack — ~2x the stack transiently, the
+        # regime this streaming form exists to avoid). Pad rows are dropped
+        # by placing only the tail's real width.
+        buf = None
+        for i in range(n_chunks):
+            out = fn(latents[i * chunk:(i + 1) * chunk])
+            if buf is None:
+                buf = jnp.zeros((n,) + out.shape[1:], out.dtype)
+            w = min(chunk, n - i * chunk)
+            buf = _place_chunk(buf, out[:w] if w < chunk else out, i * chunk)
+        return buf
 
     def sweep(self, walk_params, z, panel_alphas, given_w=None,
               chunk: int | None = None, u8: bool = False):

@@ -116,7 +116,13 @@ def invert(
         history.append(loss)
         if (loop % show_freq == 0 or loop == n_loops) and on_loop is not None:
             on_loop(loop, float(loss), output)
-    hist = (
-        np.asarray(jnp.stack(history), np.float64).tolist() if history else []
-    )
+    # fetch in bounded chunks: one jnp.stack over ALL loops would build an
+    # n_loops-operand HLO, and the remote compile tunnel rejects huge
+    # payloads (HTTP 413, CLAUDE.md) — a crash at the END of a long run
+    # would lose the optimization. 512-operand programs are safely small.
+    hist: list[float] = []
+    for i in range(0, len(history), 512):
+        hist.extend(
+            np.asarray(jnp.stack(history[i : i + 512]), np.float64).tolist()
+        )
     return w, output, hist

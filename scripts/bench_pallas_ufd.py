@@ -19,9 +19,10 @@ Usage: PYTHONPATH=/root/repo:$PYTHONPATH python scripts/bench_pallas_ufd.py
 from __future__ import annotations
 
 import json
+import os
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402  (repo-root bench.py)
 

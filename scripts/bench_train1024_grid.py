@@ -10,9 +10,10 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench  # noqa: E402
 
@@ -28,14 +29,15 @@ def main() -> None:
     ap.add_argument("--content_input_size", type=int, default=None)
     ap.add_argument("--iters", type=int, default=6)
     args = ap.parse_args()
+    remat = args.remat_mode or args.remat
     steps_s, samples_s, flops = bench.bench_train(
         size=args.size, batch=args.batch,
-        remat=args.remat_mode or args.remat,
+        remat=remat,
         iters=args.iters, warmup=2, reg_input_size=args.reg_input_size,
         content_input_size=args.content_input_size,
     )
     print(json.dumps({
-        "batch": args.batch, "size": args.size, "remat": args.remat,
+        "batch": args.batch, "size": args.size, "remat": remat,
         "reg_input_size": args.reg_input_size,
         "content_input_size": args.content_input_size,
         "steps_per_s": round(steps_s, 3),

@@ -22,7 +22,7 @@ import sys
 import tempfile
 from collections import defaultdict
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def parse_trace(trace_dir: str) -> list[tuple[str, float, int, str]]:

@@ -40,8 +40,12 @@ def test_wheel_install_and_entry_points(tmp_path):
         "import latent2im_tpu; "
         "from latent2im_tpu.config.options import TrainOptions; "
         "from latent2im_tpu.native import _l2i_native; "
+        "from latent2im_tpu.config.attributes import default_attr_path; "
         "assert latent2im_tpu.__file__.startswith(%r), latent2im_tpu.__file__; "
-        "print('ok')" % (target, target)
+        "p = default_attr_path('face'); "
+        "assert p.startswith(%r), p; "
+        "assert sum(1 for l in open(p) if l.strip()) == 40, p; "
+        "print('ok')" % (target, target, target)
     )
     out = subprocess.run(
         [sys.executable, "-c", probe], capture_output=True, text=True,
@@ -53,6 +57,20 @@ def test_wheel_install_and_entry_points(tmp_path):
     so = [f for f in os.listdir(os.path.join(target, "latent2im_tpu", "native"))
           if f.endswith(".so")]
     assert so, "native extension missing from the installed package"
+    # vocabulary data ships INSIDE the package — never as a top-level
+    # site-packages 'dataset' dir that could collide with other dists
+    assert not os.path.isdir(os.path.join(target, "dataset"))
+
+
+def test_attr_vocab_copies_in_sync():
+    """The packaged vocabulary files (latent2im_tpu/dataset/) must stay
+    byte-identical to the reference-layout repo-root dataset/ copies."""
+    for name in ("attributes_celeba.txt", "attributes_scene.txt"):
+        root = open(os.path.join(REPO, "dataset", name), "rb").read()
+        pkg = open(
+            os.path.join(REPO, "latent2im_tpu", "dataset", name), "rb"
+        ).read()
+        assert root == pkg, f"{name}: repo-root and packaged copies differ"
 
 
 def test_console_script_help():
