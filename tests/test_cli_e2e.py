@@ -159,6 +159,11 @@ def test_bp_cli_flow(tmp_path):
     assert os.path.isfile(os.path.join(save_dir, "latent", "0_w.npy"))
     w = np.load(os.path.join(save_dir, "latent", "0_w.npy"))
     assert w.shape[0] == 2 and w.shape[1] == 8  # n_latent(32)
+    # device-side loss history artifact (one entry per loop, finite,
+    # descending end-to-end — the curve cli/bp.py saves for the judge)
+    curve = np.load(os.path.join(save_dir, "0_loss.npy"))
+    assert curve.shape == (5,) and np.isfinite(curve).all()
+    assert curve[-1] < curve[0], f"inversion did not descend: {curve}"
 
 
 @pytest.mark.slow
